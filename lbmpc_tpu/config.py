@@ -1,0 +1,160 @@
+"""Typed configuration for plant, OCP, solver, and batching.
+
+The reference copy-pastes constant blocks into every example script (e.g.
+examples/LBMPC_RunExample.m:22-56 vs examples/DMS_LBMPC_casadi.m:29-94); here a
+single frozen dataclass tree holds them once, with presets reproducing each
+reference scenario.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import numpy as np
+
+from lbmpc_tpu.models.mgcm import MGCM_EQ_X, MGCM_EQ_U, TS
+
+
+@dataclasses.dataclass(frozen=True)
+class MGCMConfig:
+    """Plant-side constants (ref: examples/LBMPC_RunExample.m:22-56)."""
+
+    ts: float = TS
+    # box constraints (absolute coordinates)
+    x_min: tuple = (0.0, 1.1875, 0.1547, -20.0)
+    x_max: tuple = (1.0, 2.1875, 2.1547, 20.0)
+    u_min: float = 0.1547
+    u_max: float = 2.1547
+    # working point / equilibrium
+    x_wp: tuple = tuple(MGCM_EQ_X)
+    u_wp: float = MGCM_EQ_U
+    # uncertainty bound (ref: LBMPC_RunExample.m:38)
+    state_uncert: tuple = (0.02, 5e-4, 0.0, 0.0)
+
+    @property
+    def n(self) -> int:
+        return 4
+
+    @property
+    def m(self) -> int:
+        return 1
+
+
+@dataclasses.dataclass(frozen=True)
+class OCPConfig:
+    """OCP-side constants (ref: functions/matOCP.m, examples/*)."""
+
+    N: int = 50
+    poles: tuple = (0.75, 0.78, 0.98, 0.99)
+    T: float = 1000.0
+    # terminal-set application step: the reference applies the terminal set at
+    # k=1 in LBMPC variants (constraintsLBMPC.m:26-31) and k=N in LMPC/NMPC
+    # (constraintsLMPC.m:36-38) — both preserved behind this switch.
+    terminal_at: Literal["first", "last"] = "last"
+    tighten_first_step: bool = False  # F_x_d at k=1 (LBMPC robust variants)
+
+
+@dataclasses.dataclass(frozen=True)
+class OracleConfig:
+    """Nadaraya-Watson oracle (ref: functions/oracleL2NW.m:9-10, ocpLBMPC.m:19)."""
+
+    q: int = 100          # moving-window size
+    bandwidth: float = 0.5
+    ridge: float = 0.001
+    d_in: int = 3         # xi = [dx1; dx2; du]
+    d_out: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Device solver knobs: fixed iteration counts keep everything jittable."""
+
+    ipm_iters: int = 25
+    ipm_tol: float = 1e-9         # used for masking, not for early exit
+    sqp_iters: int = 4
+    dtype: Literal["float32", "float64"] = "float64"
+    plant_integrator: Literal["rk4", "rk23", "rk4_fine"] = "rk23"
+
+
+@dataclasses.dataclass(frozen=True)
+class ScenarioConfig:
+    """A full closed-loop scenario = plant + OCP + oracle + solver + episode."""
+
+    name: str
+    plant: MGCMConfig
+    ocp: OCPConfig
+    oracle: OracleConfig
+    solver: SolverConfig
+    controller: Literal["lmpc", "lbmpc", "nmpc"] = "lmpc"
+    family: Literal["fmincon", "casadi"] = "fmincon"
+    iterations: int = 1000
+    # fmincon family: delta-coordinate init (ref: LBMPC_RunExample.m:41-44)
+    dx_init: tuple = (-0.35, -0.4, 0.0, 0.0)
+    dx_ref: tuple = (0.0, 0.0, 0.0, 0.0)
+    # casadi family: absolute init (ref: DMS_LBMPC_casadi.m:94)
+    x_init_abs: tuple = (0.15, 1.2875, 1.1547, 0.0)
+
+
+_PRESETS = {}
+
+
+def _register(s: ScenarioConfig) -> ScenarioConfig:
+    _PRESETS[s.name] = s
+    return s
+
+
+def make_preset(name: str, **overrides) -> ScenarioConfig:
+    """Presets reproducing the reference scenarios (BASELINE.json configs)."""
+    if not _PRESETS:
+        base_plant = MGCMConfig()
+        base_oracle = OracleConfig()
+        base_solver = SolverConfig()
+        for N in (20, 40, 50, 60, 80, 100):
+            _register(
+                ScenarioConfig(
+                    name=f"LMPC_N{N}", plant=base_plant,
+                    ocp=OCPConfig(N=N, terminal_at="last"),
+                    oracle=base_oracle, solver=base_solver,
+                    controller="lmpc", family="fmincon",
+                )
+            )
+            _register(
+                ScenarioConfig(
+                    name=f"LBMPC_N{N}", plant=base_plant,
+                    ocp=OCPConfig(N=N, terminal_at="first", tighten_first_step=True),
+                    oracle=base_oracle, solver=base_solver,
+                    controller="lbmpc", family="fmincon",
+                )
+            )
+            _register(
+                ScenarioConfig(
+                    name=f"NMPC_N{N}", plant=base_plant,
+                    ocp=OCPConfig(N=N, terminal_at="last"),
+                    oracle=base_oracle, solver=base_solver,
+                    controller="nmpc", family="fmincon",
+                )
+            )
+        for q in (10, 50, 100, 200, 500):
+            _register(
+                ScenarioConfig(
+                    name=f"DMS_LBMPC_q{q}", plant=base_plant,
+                    ocp=OCPConfig(N=100, terminal_at="first", tighten_first_step=True),
+                    oracle=OracleConfig(q=q),
+                    solver=dataclasses.replace(base_solver, plant_integrator="rk4"),
+                    controller="lbmpc", family="casadi", iterations=500,
+                )
+            )
+        _register(
+            ScenarioConfig(
+                name="DMS_LMPC", plant=base_plant,
+                ocp=OCPConfig(N=50, terminal_at="last"),
+                oracle=base_oracle,
+                solver=dataclasses.replace(base_solver, plant_integrator="rk4"),
+                controller="lmpc", family="casadi", iterations=500,
+            )
+        )
+    cfg = _PRESETS[name]
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
