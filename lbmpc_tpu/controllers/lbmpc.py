@@ -1,0 +1,142 @@
+"""Learning-based MPC: learned-model cost + nominal-model constraints, via SQP.
+
+The core LBMPC split (ref: functions/costLBMPC.m:27 vs constraintsLBMPC.m:23,
+dual-trajectory form DMS_LBMPC_casadi.m:252-315): performance is optimized
+against the oracle-corrected model while safety constraints are enforced on
+the nominal model with a tightened first step and the terminal set at k=1.
+
+Condensed TPU form: the nominal constraints are the *constant* (G, h0, Hp)
+stack of the condensed QP; only the cost rolls out the learned dynamics. Each
+MPC step = a few Gauss-Newton SQP iterations, each one dense QP on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbmpc_tpu.controllers.condensed import CondensedQP
+from lbmpc_tpu.controllers.sqp import sqp_solve
+from lbmpc_tpu.oracle import DataWindow, make_xi, nw_estimate
+
+
+@dataclasses.dataclass(frozen=True)
+class LBMPCWeights:
+    """Square-root weights for the Gauss-Newton residual stack."""
+
+    Lq: np.ndarray
+    Lr: np.ndarray
+    Lp: np.ndarray
+    sqrtT: float
+    LAMBDA: np.ndarray
+    PSI: np.ndarray
+
+    @classmethod
+    def make(cls, Q, R, P, T, LAMBDA, PSI):
+        return cls(
+            Lq=np.linalg.cholesky(np.asarray(Q, float)).T,
+            Lr=np.linalg.cholesky(np.asarray(R, float)).T,
+            Lp=np.linalg.cholesky(np.asarray(P, float)).T,
+            sqrtT=float(np.sqrt(T)),
+            LAMBDA=np.atleast_2d(np.asarray(LAMBDA, float)),
+            PSI=np.atleast_2d(np.asarray(PSI, float)),
+        )
+
+
+def make_lbmpc_solver(
+    qp: CondensedQP,
+    A: np.ndarray,
+    B: np.ndarray,
+    Ks: np.ndarray,
+    w: LBMPCWeights,
+    family: str = "fmincon",
+    delta: float = 0.01,
+    bandwidth: float = 0.5,
+    ridge: float = 0.001,
+    dx_ref: np.ndarray | None = None,
+    sqp_iters: int = 3,
+    ipm_iters: int = 30,
+    dtype=jnp.float64,
+):
+    """Returns solve(dx0, window, z_ws) -> (z, converged), pure and jittable.
+
+    family='fmincon': prestabilized decision u_k = Ks x_k + c_k, cost stage
+    quirk of costLBMPC.m (running stages 0..N-3, terminal on x_N).
+    family='casadi': direct du decision, delta-scaled running stages 0..N-1
+    (ref: DMS_LBMPC_casadi.m costfunction), terminal on learned x_N.
+    """
+    N, n, m = qp.N, qp.n, qp.m
+    nth = w.LAMBDA.shape[1]
+    Ad = jnp.asarray(A, dtype)
+    Bd = jnp.asarray(B, dtype)
+    Ksd = jnp.asarray(np.atleast_2d(Ks), dtype)
+    Lq = jnp.asarray(w.Lq, dtype)
+    Lr = jnp.asarray(w.Lr, dtype)
+    Lp = jnp.asarray(w.Lp, dtype)
+    LAM = jnp.asarray(w.LAMBDA, dtype)
+    PSI = jnp.asarray(w.PSI, dtype)
+    Gd = jnp.asarray(qp.G, dtype)
+    h0d = jnp.asarray(qp.h0, dtype)
+    Hpd = jnp.asarray(qp.Hp, dtype)
+    xs_ref = jnp.zeros((n,), dtype) if dx_ref is None else jnp.asarray(dx_ref, dtype)
+    sq_delta = float(np.sqrt(delta))
+
+    def rollout(z, dx0, window):
+        cs = z[: N * m].reshape(N, m)
+        def step(x, c):
+            u = Ksd @ x + c if family == "fmincon" else c
+            x1 = Ad @ x + Bd @ u + nw_estimate(make_xi(x, u), window, bandwidth, ridge)
+            return x1, (x, u)
+        xN, (xs, us) = jax.lax.scan(step, dx0, cs)
+        return xs, us, xN
+
+    def residuals(z, dx0, window):
+        theta = z[N * m :]
+        xs, us, xN = rollout(z, dx0, window)
+        xa = LAM @ theta
+        ua = PSI @ theta
+        if family == "fmincon":
+            rx = (xs[: N - 2] - xa) @ Lq.T          # stages 0..N-3
+            ru = (us[: N - 2] - ua) @ Lr.T
+        else:
+            rx = sq_delta * ((xs - xa) @ Lq.T)      # stages 0..N-1
+            ru = sq_delta * ((us - ua) @ Lr.T)
+        rP = Lp @ (xN - xa)
+        rT = w.sqrtT * (xa - xs_ref)
+        return jnp.concatenate([rx.ravel(), ru.ravel(), rP, rT])
+
+    def solve(dx0, window: DataWindow, z_ws):
+        res_fn = lambda z: residuals(z, dx0, window)
+        cost_fn = lambda z: jnp.sum(res_fn(z) ** 2)
+        h = h0d + Hpd @ dx0
+        out = sqp_solve(cost_fn, res_fn, Gd, h, z_ws, iters=sqp_iters, ipm_iters=ipm_iters)
+        return out.z, out.qp_converged
+
+    return solve
+
+
+def make_casadi_warm_start(qp: CondensedQP, A, B, Ks, dtype=jnp.float64):
+    """Shift-and-append warm start (ref: DMS_LBMPC_casadi.m:209-213).
+
+    z' = [du_1..du_{N-1}, Ks dx_N^nom, theta] where dx_N^nom is the nominal
+    condensed rollout's final state under the current solution.
+    """
+    N, n, m = qp.N, qp.n, qp.m
+    SxN = jnp.asarray(qp.Sx[N], dtype)
+    ScN = jnp.asarray(qp.Sc[N], dtype)
+    Ksd = jnp.asarray(np.atleast_2d(Ks), dtype)
+
+    def warm(z, dx_used, dx_next, window):
+        cs = z[: N * m]
+        theta = z[N * m :]
+        # the reference shifts using the previous solve's open-loop nominal
+        # trajectory; its final state is the condensed rollout at dx_used
+        dxN = SxN @ dx_used + ScN @ cs
+        tail = Ksd @ dxN
+        return jnp.concatenate([cs[m:], tail, theta])
+
+    return warm

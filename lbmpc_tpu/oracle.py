@@ -1,0 +1,124 @@
+"""Nadaraya-Watson model-error oracle + fixed-shape data windows.
+
+The LBMPC learning layer (ref: functions/oracleL2NW.m, functions/casadiL2NW.m,
+utilities/update_data.m, utilities/get_data.m), re-designed for TPU:
+
+  - the estimate is one masked matmul chain over a statically shaped window —
+    the validity-flag layout of casadiL2NW.m:2 generalized to struct-of-arrays
+    (X (q, d_in), Y (q, d_out), valid (q,)) so it jits, vmaps over scenarios,
+    and rides the MXU when evaluated for all N horizon stages at once;
+  - the moving window (ref: update_data.m:3-10 shift-append) becomes a ring
+    buffer via `lax.dynamic_update_slice` — same point set, O(1) update, no
+    copies. NW weights are permutation-invariant, so ring order ≡ shift order.
+
+Semantics notes (kept bit-compatible with the reference):
+  - kernel value exp(-||X_i - xi||^2 / bw^2), bw=0.5, ridge lambda=0.001
+    (ref: oracleL2NW.m:9-10,26-30);
+  - weights = kval_i / (lambda + sum_j valid_j * kval_j). The numerator is NOT
+    masked in casadiL2NW.m:18-25 — invalid columns contribute zero only
+    because their Y is zero; we keep Y rows of invalid slots at zero so the
+    masked and unmasked numerator coincide;
+  - the fmincon family's initial zero observation (data.X=zeros(3,1),
+    ref: LBMPC_RunExample.m:78-80) is reproduced by marking slot 0 valid with
+    X=0, Y=0 at init (exactly what DMS_LBMPC_casadi.m:160-161 does).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DataWindow(NamedTuple):
+    """Fixed-shape oracle observation window (one scenario; vmap for batches)."""
+
+    X: jax.Array       # (q, d_in)  regressors  xi = [dx1, dx2, du]
+    Y: jax.Array       # (q, d_out) targets     model-error observations
+    valid: jax.Array   # (q,) 0/1 flags
+    count: jax.Array   # scalar int32 — total points ever inserted
+
+
+def init_window(q: int, d_in: int = 3, d_out: int = 4, dtype=jnp.float64,
+                seed_zero_point: bool = True) -> DataWindow:
+    """Empty window; optionally seed slot 0 as a valid (0, 0) observation
+    (both reference families start that way — see module docstring)."""
+    X = jnp.zeros((q, d_in), dtype)
+    Y = jnp.zeros((q, d_out), dtype)
+    valid = jnp.zeros((q,), dtype).at[0].set(1.0 if seed_zero_point else 0.0)
+    count = jnp.asarray(1 if seed_zero_point else 0, jnp.int32)
+    return DataWindow(X, Y, valid, count)
+
+
+def push(window: DataWindow, x_new: jax.Array, y_new: jax.Array) -> DataWindow:
+    """Insert one observation, overwriting the oldest once the window is full.
+
+    Ring-buffer equivalent of update_data.m:3-10 / get_data.m:3-10.
+    """
+    q = window.X.shape[0]
+    idx = window.count % q
+    zero = jnp.zeros((), idx.dtype)
+    X = jax.lax.dynamic_update_slice(window.X, x_new[None, :], (idx, zero))
+    Y = jax.lax.dynamic_update_slice(window.Y, y_new[None, :], (idx, zero))
+    valid = window.valid.at[idx].set(1.0)
+    return DataWindow(X, Y, valid, window.count + 1)
+
+
+def nw_estimate(
+    xi: jax.Array,
+    window: DataWindow,
+    bandwidth: float = 0.5,
+    ridge: float = 0.001,
+) -> jax.Array:
+    """g(xi) = sum_i Y_i k(X_i, xi) / (ridge + sum_j valid_j k(X_j, xi)).
+
+    xi may be a single (d_in,) query or a stacked (..., d_in) batch; the
+    window is shared. Batched queries use one (..., q) x (q, d_out) matmul.
+    """
+    X, Y, valid = window.X, window.Y, window.valid
+    sq = jnp.sum((xi[..., None, :] - X) ** 2, axis=-1)          # (..., q)
+    kval = jnp.exp(-sq / (bandwidth * bandwidth))
+    denom = ridge + jnp.sum(kval * valid, axis=-1, keepdims=True)
+    weights = (kval * valid) / denom                             # (..., q)
+    return weights @ Y                                           # (..., d_out)
+
+
+def make_xi(dx: jax.Array, du: jax.Array) -> jax.Array:
+    """Regressor xi = [dx1; dx2; du] (ref: oracleL2NW.m:2 `ksi=[x(1:2);u]`)."""
+    return jnp.concatenate([dx[..., :2], du], axis=-1)
+
+
+def learned_step(
+    dx: jax.Array,
+    du: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    window: DataWindow,
+    bandwidth: float = 0.5,
+    ridge: float = 0.001,
+) -> jax.Array:
+    """Learned model x+ = A dx + B du + g([dx1, dx2, du]) in delta coordinates.
+
+    Ref: models/learnedModel.m:25, DMS_LBMPC_casadi.m:321-333.
+    """
+    lin = jnp.einsum("ij,...j->...i", A, dx) + jnp.einsum("ij,...j->...i", B, du)
+    return lin + nw_estimate(make_xi(dx, du), window, bandwidth, ridge)
+
+
+def observe_residual(
+    dx_k: jax.Array,
+    du_k: jax.Array,
+    dx_k1_true: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Data-acquisition pair (X, Y): regressor and true-vs-nominal residual.
+
+    Ref: functions/ocpLBMPC.m:14-15, DMS_LBMPC_casadi.m:204-206.
+    """
+    x_new = make_xi(dx_k, du_k)
+    y_new = dx_k1_true - (
+        jnp.einsum("ij,...j->...i", A, dx_k) + jnp.einsum("ij,...j->...i", B, du_k)
+    )
+    return x_new, y_new

@@ -1,0 +1,143 @@
+"""Scenario assembly: preset name -> ready-to-run jitted closed-loop episode.
+
+The user-facing layer tying plant + synthesis + sets + controller + harness
+together, replacing the copy-pasted setup blocks of the reference examples
+(ref: examples/LBMPC_RunExample.m:10-107, DMS_LBMPC_casadi.m:13-160).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbmpc_tpu.config import ScenarioConfig, make_preset
+from lbmpc_tpu.controllers.condensed import build_casadi_dms, build_fmincon_lmpc
+from lbmpc_tpu.controllers.lbmpc import (
+    LBMPCWeights,
+    make_casadi_warm_start,
+    make_lbmpc_solver,
+)
+from lbmpc_tpu.controllers.lmpc import make_lmpc_solver
+from lbmpc_tpu.controllers.nmpc import make_nmpc_solver
+from lbmpc_tpu.models.mgcm import mgcm_dlti, rk23_step, rk4_step
+from lbmpc_tpu.oracle import DataWindow, init_window
+from lbmpc_tpu.runtime.closed_loop import ClosedLoopResult, run_closed_loop
+from lbmpc_tpu.sets.terminal import ConstraintSet, get_cons, get_cons_poly
+from lbmpc_tpu.synthesis import mat_ocp
+
+
+@dataclasses.dataclass(frozen=True)
+class Scenario:
+    """Assembled scenario: matrices, constraint sets, solver and episode fns."""
+
+    cfg: ScenarioConfig
+    A: np.ndarray
+    B: np.ndarray
+    ocp: "object"          # OCPMatrices
+    cs: ConstraintSet
+    nz: int
+    episode: "object"      # jitted (dx_init,) -> ClosedLoopResult
+    solve: "object"        # raw per-step solver (dx, window, z_ws) -> (z, conv)
+
+    def run(self, dx_init=None) -> ClosedLoopResult:
+        dx = jnp.asarray(
+            self.cfg.dx_init if dx_init is None else dx_init, jnp.float64
+        )
+        if self.cfg.family == "casadi":
+            dx = jnp.asarray(np.asarray(self.cfg.x_init_abs) - np.asarray(self.cfg.plant.x_wp)) \
+                if dx_init is None else dx
+        return self.episode(dx)
+
+    def run_batch(self, dx_inits) -> ClosedLoopResult:
+        return jax.vmap(self.episode)(jnp.asarray(dx_inits))
+
+
+def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
+    cfg = name_or_cfg if isinstance(name_or_cfg, ScenarioConfig) else make_preset(name_or_cfg)
+    p = cfg.plant
+    A, B, C, _ = mgcm_dlti(p.ts)
+    ocp = mat_ocp(A, B, C, poles=cfg.ocp.poles, T=cfg.ocp.T)
+    common = dict(
+        x_min=p.x_min, x_max=p.x_max, u_min=p.u_min, u_max=p.u_max,
+        x_wp=p.x_wp, u_wp=p.u_wp,
+    )
+    if cfg.ocp.tighten_first_step:
+        cs = get_cons_poly(
+            **common, state_uncert=p.state_uncert,
+            A=A, B=B, Q=ocp.Q, R=ocp.R,
+            LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+        )
+    else:
+        cs = get_cons(
+            **common, A=A, B=B, K=ocp.Ks,
+            LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+        )
+
+    N = cfg.ocp.N
+    iters_ipm = ipm_iters or cfg.solver.ipm_iters
+    w = LBMPCWeights.make(ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI)
+
+    if cfg.family == "fmincon":
+        qp = build_fmincon_lmpc(
+            A, B, ocp.Ks, ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI, cs, N,
+            dx_ref=np.asarray(cfg.dx_ref),
+            terminal_at=cfg.ocp.terminal_at,
+            tighten_first_step=cfg.ocp.tighten_first_step,
+        )
+        plant = lambda x, u: rk23_step(x, u[0], p.ts)
+        warm = lambda z, dx_used, dx_next, window: z  # fmincon reuses opt_var
+    else:
+        qp = build_casadi_dms(
+            A, B, ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI, cs, N,
+            delta=p.ts,
+            terminal_at=cfg.ocp.terminal_at,
+            tighten_first_step=cfg.ocp.tighten_first_step,
+        )
+        plant = lambda x, u: rk4_step(x, u[0], p.ts, substeps=1)
+        warm = make_casadi_warm_start(qp, A, B, ocp.Ks)
+
+    if cfg.controller == "lmpc":
+        lin_solve = make_lmpc_solver(qp, ipm_iters=iters_ipm)
+
+        def solve(dx, window, z_ws):
+            z, sol = lin_solve(dx)
+            return z, sol.converged
+
+        learn = False
+    elif cfg.controller == "lbmpc":
+        solve = make_lbmpc_solver(
+            qp, A, B, ocp.Ks, w,
+            family=cfg.family, delta=p.ts,
+            bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+            dx_ref=np.asarray(cfg.dx_ref),
+            sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm,
+        )
+        learn = True
+    elif cfg.controller == "nmpc":
+        solve = make_nmpc_solver(
+            cs, ocp.Ks, w, N, p.ts, np.asarray(p.x_wp), p.u_wp,
+            family=cfg.family, dx_ref=np.asarray(cfg.dx_ref),
+            sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm,
+        )
+        learn = False
+    else:
+        raise ValueError(cfg.controller)
+
+    Ks_eff = ocp.Ks if cfg.family == "fmincon" else np.zeros_like(ocp.Ks)
+
+    @jax.jit
+    def episode(dx_init):
+        return run_closed_loop(
+            solve, plant, warm,
+            jnp.asarray(Ks_eff), jnp.asarray(A), jnp.asarray(B), jnp.asarray(ocp.LAMBDA),
+            jnp.asarray(p.x_wp), jnp.asarray([p.u_wp]), dx_init,
+            jnp.zeros(qp.nz), init_window(cfg.oracle.q),
+            cfg.iterations, learn=learn,
+            log_post_state=(cfg.controller != "lbmpc"),
+        )
+
+    return Scenario(cfg=cfg, A=A, B=B, ocp=ocp, cs=cs, nz=qp.nz, episode=episode, solve=solve)

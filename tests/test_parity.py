@@ -1,0 +1,106 @@
+"""Closed-loop and pointwise parity vs the reference golden trajectories.
+
+Parity philosophy (documented by experiment):
+  - Pointwise (same state in -> control out), our solvers match an independent
+    high-accuracy solver to ~1e-8 and the goldens to the reference solvers'
+    own tolerance (fmincon ~1e-6, IPOPT acceptable-level ~1e-4 at hard
+    active-set instances — verified: scipy agrees with us, not with IPOPT).
+  - Closed loop, tiny per-step differences get transiently amplified at
+    active-set switching steps (the control law is discontinuous-derivative
+    there), dominantly in the fast throttle-rate state x4. Slow states track
+    tightly throughout; trajectories re-converge after transients.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lbmpc_tpu.config import make_preset
+from lbmpc_tpu.runtime.scenario import build_scenario
+
+RUN_SLOW = bool(os.environ.get("RUN_SLOW"))
+
+
+def test_lmpc_pointwise_control_parity(golden):
+    """Feed every golden state into our LMPC QP; du must match the golden
+    input sequence within fmincon's tolerance envelope."""
+    sc = build_scenario(make_preset("LMPC_N50"))
+    g = golden("LMPC_N50")["sysH"]  # (5, 1001), col k = [dx_k; du_{k-1}]
+    dxs = jnp.asarray(g[:4, :-1].T)            # states dx_0..dx_999
+    du_gold = g[4, 1:]                          # du_0..du_999
+    Ks = jnp.asarray(sc.ocp.Ks)
+
+    def du_of(dx):
+        z, conv = sc.solve(dx, None, None)
+        return (Ks @ dx + z[:1])[0], conv
+
+    du, conv = jax.vmap(du_of)(dxs)
+    err = np.abs(np.asarray(du) - du_gold)
+    assert bool(jnp.all(conv))
+    assert np.median(err) < 2e-6
+    assert err.max() < 5e-4  # few active-set-boundary steps carry fmincon noise
+    assert (err > 1e-4).sum() < 10
+
+
+def test_lbmpc_closed_loop_parity(golden):
+    """LBMPC fmincon family: 300-step closed loop (learning on) vs golden."""
+    steps = 1000 if RUN_SLOW else 300
+    sc = build_scenario(make_preset("LBMPC_N50", iterations=steps))
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    sysH = np.asarray(res.sys_history).T
+    g = golden("LBMPC_N50")["sysH"]
+    err = np.abs(sysH[:, : steps + 1] - g[:, : steps + 1])
+    assert err.max() < 5e-4
+
+
+def test_nmpc_closed_loop_parity(golden):
+    steps = 200 if RUN_SLOW else 60
+    sc = build_scenario(make_preset("NMPC_N50", iterations=steps))
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    sysH = np.asarray(res.sys_history).T
+    g = golden("NMPC_N50")["sysH"]
+    err = np.abs(sysH[:, : steps + 1] - g[:, : steps + 1])
+    assert err[:3].max() < 1e-4   # slow states
+    assert err[3].max() < 5e-3    # throttle rate
+    assert err[4].max() < 1e-3    # input
+
+
+def test_dms_lmpc_casadi_closed_loop_parity(golden):
+    """CasADi family LMPC (DMS N=50): absolute-state trajectory vs golden."""
+    sc = build_scenario(make_preset("DMS_LMPC", iterations=500))
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    # sys_history rows are delta; golden is absolute xmeasure BEFORE each step
+    x_wp = np.asarray(sc.cfg.plant.x_wp)
+    sysH = np.asarray(res.sys_history)
+    ours_abs = sysH[:-1, :4] + x_wp  # pre-step states x_0..x_499
+    g = golden("DMS_N50_tLMPC")      # (4, 500)
+    err = np.abs(ours_abs.T - g)
+    # slow states track at IPOPT-noise level; x4 transiently amplifies it
+    assert err[0].max() < 1e-5
+    assert err[1].max() < 1e-4
+    assert err[2].max() < 5e-3
+    assert err[3, 200:].max() < 1e-3  # after the active-set transient
+    # steady state: everything re-converges
+    assert err[:, 400:].max() < 1e-3
+
+
+def test_lmpc_closed_loop_envelope(golden):
+    """fmincon-family LMPC closed loop: tight until the active-set transient,
+    bounded envelope through it, re-convergence after."""
+    steps = 1000 if RUN_SLOW else 150
+    sc = build_scenario(make_preset("LMPC_N50", iterations=steps))
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    sysH = np.asarray(res.sys_history).T
+    g = golden("LMPC_N50")["sysH"]
+    err = np.abs(sysH[:, : steps + 1] - g[:, : steps + 1])
+    assert err[:, :80].max() < 3e-3           # pre-transient: tight
+    assert err[0].max() < 2e-2                # mass flow stays close throughout
+    assert err[1].max() < 2e-2
