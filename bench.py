@@ -1,0 +1,99 @@
+"""Benchmark: batched LBMPC solves/s on the current default backend.
+
+Measures the BASELINE.json headline metric: LBMPC OCP solves per second per
+chip at N=20 horizon (full SQP solve: learned-model Gauss-Newton cost + the
+nominal constraint stack + terminal set, per reference semantics), plus the
+per-step latency of one batched solve vs the 10 ms real-time budget.
+
+vs_baseline compares against the reference's measured tracking-LMPC solve rate
+(115.0 ms mean per solve, CasADi+IPOPT on Intel CPU — BASELINE.md), i.e.
+vs_baseline = our_solves_per_s / (1 / 0.115).
+
+Prints ONE JSON line.
+"""
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.oracle import init_window
+    from lbmpc_tpu.runtime.scenario import build_scenario
+
+    N = 20
+    q = 100
+    cfg = make_preset("LBMPC_N40")
+    cfg = dataclasses.replace(
+        cfg,
+        ocp=dataclasses.replace(cfg.ocp, N=N),
+        oracle=dataclasses.replace(cfg.oracle, q=q),
+        solver=dataclasses.replace(cfg.solver, sqp_iters=3, ipm_iters=20),
+    )
+    sc = build_scenario(cfg)
+
+    rng = np.random.default_rng(0)
+
+    def batch_inputs(batch):
+        dx = jnp.asarray(
+            np.array([-0.35, -0.4, 0.0, 0.0]) + 0.01 * rng.standard_normal((batch, 4))
+        )
+        window = init_window(q)
+        X = jnp.asarray(0.1 * rng.standard_normal((batch, q, 3)))
+        Y = jnp.asarray(0.001 * rng.standard_normal((batch, q, 4)))
+        windows = type(window)(
+            X=X, Y=Y,
+            valid=jnp.ones((batch, q)),
+            count=jnp.full((batch,), q, jnp.int32),
+        )
+        z0 = jnp.zeros((batch, sc.nz))
+        return dx, windows, z0
+
+    solve_batched = jax.jit(jax.vmap(sc.solve))
+
+    best = None
+    for batch in (512, 2048, 8192):
+        dx, windows, z0 = batch_inputs(batch)
+        out = solve_batched(dx, windows, z0)
+        jax.block_until_ready(out)
+        reps = 5
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = solve_batched(dx, windows, z0)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        step = float(np.median(times))
+        sps = batch / step
+        conv = float(np.mean(np.asarray(out[1])))
+        cand = dict(batch=batch, step_ms=step * 1e3, solves_per_s=sps, conv=conv)
+        if best is None or sps > best["solves_per_s"]:
+            best = cand
+
+    ref_solve_s = 0.115  # reference tracking-LMPC mean solve time (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "lbmpc_sqp_solves_per_s_N20",
+                "value": round(best["solves_per_s"], 1),
+                "unit": "solves/s",
+                "vs_baseline": round(best["solves_per_s"] * ref_solve_s, 1),
+                "batch": best["batch"],
+                "batched_step_ms": round(best["step_ms"], 2),
+                "converged_frac": round(best["conv"], 4),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

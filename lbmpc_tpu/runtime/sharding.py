@@ -1,0 +1,82 @@
+"""Multi-chip scaling: scenario-axis sharding over a device mesh.
+
+The reference is a single-threaded MATLAB process (SURVEY.md §2.3: no
+parallelism of any kind); the TPU-native scaling model is:
+
+  - `vmap` over scenarios within a chip (batched IPM/SQP — MXU batching);
+  - a 1-D (or 2-D host x chip) `jax.sharding.Mesh` over the scenario axis,
+    with `NamedSharding(P("scenario"))` on every per-scenario array — XLA
+    partitions the whole closed-loop scan without code changes;
+  - cross-chip reductions (solve statistics, convergence votes, failure
+    masks) via `shard_map` + `psum` riding ICI.
+
+100k+ concurrent receding-horizon instances = (hosts x chips) * per-chip batch,
+exactly BASELINE.json config 5.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def scenario_mesh(n_devices: int | None = None, axis: str = "scenario") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_scenarios(mesh: Mesh, tree, axis: str = "scenario"):
+    """Place every array in `tree` with its leading axis sharded over the mesh."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def sharded_episode_runner(episode_fn: Callable, mesh: Mesh, axis: str = "scenario"):
+    """jit a vmapped episode with scenario-sharded inputs/outputs.
+
+    episode_fn: (dx_init,) -> ClosedLoopResult (single scenario).
+    Returns runner(batch_dx) with batch dimension sharded across the mesh;
+    XLA runs each shard's scan locally — zero cross-chip traffic in the loop,
+    collectives only in the stats reduction below.
+    """
+    batched = jax.vmap(episode_fn)
+    shard = NamedSharding(mesh, P(axis))
+
+    @functools.partial(jax.jit, in_shardings=(shard,))
+    def run(batch_dx):
+        return batched(batch_dx)
+
+    return run
+
+
+def global_solve_stats(mesh: Mesh, converged: jax.Array, axis: str = "scenario"):
+    """Cross-chip reduction of per-scenario convergence flags via psum.
+
+    Returns (n_converged, n_total) replicated on every device — the batched
+    equivalent of the reference's per-run solve bookkeeping
+    (ref: examples/DMS_LBMPC_casadi.m:186-190 solve_times collection).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(),
+    )
+    def reduce_stats(conv_local):
+        n_conv = jax.lax.psum(jnp.sum(conv_local.astype(jnp.int32)), axis)
+        n_tot = jax.lax.psum(jnp.asarray(conv_local.shape[0], jnp.int32), axis)
+        return jnp.stack([n_conv, n_tot])
+
+    out = reduce_stats(converged)
+    return int(out[0]), int(out[1])
