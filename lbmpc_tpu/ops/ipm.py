@@ -66,11 +66,25 @@ def solve_qp(
     H may be exactly zero (LP). Requires the feasible set to be bounded in the
     directions that matter (true for all reference uses: support functions
     over bounded polytopes, strictly convex MPC QPs).
+
+    All matmuls run at HIGHEST precision: on TPU the default f32 matmul path
+    goes through bf16 passes whose error stalls the IPM around 1e-3 — full
+    fp32 accumulation costs ~2x on the MXU but keeps f32 solves active-set
+    exact.
     """
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_impl(H, g, G, h, iters, tol, tau)
+
+
+def _solve_qp_impl(H, g, G, h, iters, tol, tau):
     dtype = g.dtype
     n = g.shape[-1]
     m = h.shape[-1]
     In = jnp.eye(n, dtype=dtype)
+    # dtype-aware guards: the f64 constants underflow to 0 in f32 and poison
+    # d = z/s with inf
+    tiny = float(jnp.finfo(dtype).tiny) * 1e8
+    d_cap = 1e16 if dtype == jnp.float64 else 1e7
 
     x0 = jnp.zeros((n,), dtype)
     s0 = jnp.maximum(h - G @ x0, 1.0)
@@ -84,17 +98,22 @@ def solve_qp(
         x, s, z, frozen, first_it = state
         rd = H @ x + g + G.T @ z
         rp = G @ x + s - h
-        s_safe = jnp.maximum(s, 1e-300)
-        d = z / s_safe
+        s_safe = jnp.maximum(s, tiny)
+        d = jnp.minimum(z / s_safe, d_cap)
         M = H + (G.T * d) @ G
         # tiny diagonal regularization keeps Cholesky alive for rank-deficient
         # LP normal matrices late in the solve
         reg = 1e-12 * (1.0 + jnp.trace(M) / n)
-        L = jnp.linalg.cholesky(M + reg * In)
+        # compact batched Cholesky (ops/chol.py) — XLA's blocked cholesky/
+        # triangular-solve lowering is compile- and latency-hostile for these
+        # tiny KKT systems
+        from lbmpc_tpu.ops.chol import chol_batched, solve_tri_lower, solve_tri_upper_t
+
+        L = chol_batched(M + reg * In)
 
         def kkt_solve(rc):
             rhs = -(rd + G.T @ (d * rp) - G.T @ (rc / s_safe))
-            dx = jax.scipy.linalg.cho_solve((L, True), rhs)
+            dx = solve_tri_upper_t(L, solve_tri_lower(L, rhs))
             dz = d * (rp + G @ dx) - rc / s_safe
             ds = -rp - G @ dx
             return dx, ds, dz
@@ -106,7 +125,7 @@ def solve_qp(
         a_p = _step_length(s, ds_a, 1.0)
         a_d = _step_length(z, dz_a, 1.0)
         mu_aff = jnp.dot(s + a_p * ds_a, z + a_d * dz_a) / m
-        sigma = (mu_aff / jnp.maximum(mu, 1e-300)) ** 3
+        sigma = (mu_aff / jnp.maximum(mu, tiny)) ** 3
         # corrector
         rc = s * z + ds_a * dz_a - sigma * mu
         dx, ds, dz = kkt_solve(rc)
@@ -117,11 +136,12 @@ def solve_qp(
         s_new = s + a_p * ds
         z_new = z + a_d * dz
 
+        tol_eff = max(tol, 30.0 * float(jnp.finfo(dtype).eps))
         done = jnp.logical_and(
-            mu < tol * (1.0 + jnp.abs(jnp.dot(s, z))),
+            mu < tol_eff * (1.0 + jnp.abs(jnp.dot(s, z))),
             jnp.logical_and(
-                jnp.max(jnp.abs(rp)) < tol * h_scale * 1e2,
-                jnp.max(jnp.abs(rd)) < tol * g_scale * 1e2,
+                jnp.max(jnp.abs(rp)) < tol_eff * h_scale * 1e2,
+                jnp.max(jnp.abs(rd)) < tol_eff * g_scale * 1e2,
             ),
         )
         frozen_new = jnp.logical_or(frozen, done)
@@ -135,9 +155,10 @@ def solve_qp(
     rd = H @ x + g + G.T @ z
     rp = G @ x + s - h
     mu = jnp.dot(s, z) / m
+    conv_tol = 1e-7 if dtype == jnp.float64 else 2e-4
     converged = jnp.logical_and(
-        mu < 1e-7 * (1.0 + jnp.abs(jnp.dot(s, z))),
-        jnp.max(jnp.abs(rp)) < 1e-7 * h_scale,
+        mu < conv_tol * (1.0 + jnp.abs(jnp.dot(s, z))),
+        jnp.max(jnp.abs(rp)) < conv_tol * h_scale,
     )
     return IPMSolution(
         x=x, z=z, s=s, mu=mu,

