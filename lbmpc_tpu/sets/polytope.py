@@ -13,14 +13,32 @@ sets drop straight into jitted constraint stacks.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import scipy.optimize
 import scipy.spatial
 
 
+def _use_native() -> bool:
+    if os.environ.get("LBMPC_TPU_NO_NATIVE"):
+        return False
+    from lbmpc_tpu.sets import native
+
+    return native.available()
+
+
 def _linprog_max(c: np.ndarray, F: np.ndarray, h: np.ndarray) -> float:
-    """max c'x s.t. Fx <= h (support function). Raises on failure."""
+    """max c'x s.t. Fx <= h (support function). Raises on failure.
+
+    Uses the native C++ IPM (native/polylp.cpp) when available — the compiled
+    replacement for MATLAB linprog / MPT3's LP core — with scipy HiGHS as the
+    pure-Python fallback and cross-check.
+    """
+    if _use_native():
+        from lbmpc_tpu.sets import native
+
+        return native.support(np.asarray(c, float), F, h)
     res = scipy.optimize.linprog(-c, A_ub=F, b_ub=h, bounds=(None, None), method="highs")
     if res.status == 3:
         return np.inf
@@ -103,6 +121,12 @@ class Polytope:
                 uniq[idx] = False
             prev = row
         F, h = Fn[uniq], hn[uniq]
+
+        if _use_native():
+            from lbmpc_tpu.sets import native
+
+            keep = native.min_hrep_mask(F, h, tol)
+            return Polytope(F[keep], h[keep])
 
         keep = np.ones(F.shape[0], bool)
         for i in range(F.shape[0]):
