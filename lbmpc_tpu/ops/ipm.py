@@ -84,7 +84,7 @@ def _solve_qp_impl(H, g, G, h, iters, tol, tau):
     # dtype-aware guards: the f64 constants underflow to 0 in f32 and poison
     # d = z/s with inf
     tiny = float(jnp.finfo(dtype).tiny) * 1e8
-    d_cap = 1e16 if dtype == jnp.float64 else 1e7
+    d_cap = 1e30 if dtype == jnp.float64 else 1e7  # f64 effectively uncapped
 
     x0 = jnp.zeros((n,), dtype)
     s0 = jnp.maximum(h - G @ x0, 1.0)

@@ -91,6 +91,27 @@ def test_dms_lmpc_casadi_closed_loop_parity(golden):
     assert err[:, 400:].max() < 1e-3
 
 
+def test_dms_lbmpc_casadi_closed_loop_parity(golden):
+    """Flagship CasADi LBMPC (dual-trajectory DMS, oracle in solver graph),
+    N=50, q=100, 500 steps vs golden xlo."""
+    import dataclasses
+
+    cfg = make_preset("DMS_LBMPC_q100", iterations=500)
+    cfg = dataclasses.replace(cfg, ocp=dataclasses.replace(cfg.ocp, N=50))
+    sc = build_scenario(cfg)
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    sysH = np.asarray(res.sys_history)
+    ours_abs = sysH[1:501, :4] + x_wp  # pre-step states x_0..x_499
+    g = golden("DMS_N50_tLBMPC_q100")
+    err = np.abs(ours_abs.T - g)
+    assert err[0].max() < 1e-4
+    assert err[1].max() < 2e-4
+    assert err[2].max() < 1e-3
+    assert err[3].max() < 5e-2  # throttle-rate transient at solver-noise level
+
+
 def test_lmpc_closed_loop_envelope(golden):
     """fmincon-family LMPC closed loop: tight until the active-set transient,
     bounded envelope through it, re-convergence after."""
