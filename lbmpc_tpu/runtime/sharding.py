@@ -25,6 +25,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Join the jax distributed runtime for multi-host pods.
+
+    On cloud TPU pods the arguments auto-detect from the environment; after
+    this, `jax.devices()` spans every host and `scenario_mesh()` builds a
+    global mesh whose scenario axis crosses DCN while each host's shard stays
+    on its local chips (XLA routes the psum reductions hierarchically:
+    ICI within a slice, DCN across slices).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def scenario_mesh(n_devices: int | None = None, axis: str = "scenario") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:

@@ -112,6 +112,27 @@ def test_dms_lbmpc_casadi_closed_loop_parity(golden):
     assert err[3].max() < 5e-2  # throttle-rate transient at solver-noise level
 
 
+def test_nmpc_casadi_closed_loop_parity(golden):
+    """CasADi-family NMPC (true-ODE rollout, N=100) vs DSS_tNMPC golden."""
+    import dataclasses
+
+    cfg = make_preset("NMPC_N50", iterations=120)
+    cfg = dataclasses.replace(
+        cfg, family="casadi", ocp=dataclasses.replace(cfg.ocp, N=100)
+    )
+    sc = build_scenario(cfg)
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    sysH = np.asarray(res.sys_history)
+    g = golden("DSS_tNMPC")
+    err = np.abs((sysH[1:121, :4] + x_wp).T - g[:, 1:121])
+    assert err[0].max() < 1e-5
+    assert err[1].max() < 1e-5
+    assert err[2].max() < 1e-4
+    assert err[3].max() < 1e-2
+
+
 def test_lmpc_closed_loop_envelope(golden):
     """fmincon-family LMPC closed loop: tight until the active-set transient,
     bounded envelope through it, re-convergence after."""
