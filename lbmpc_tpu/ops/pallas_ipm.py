@@ -41,7 +41,7 @@ def build_pallas_qp_solver(
     H: np.ndarray,
     G: np.ndarray,
     iters: int = 20,
-    tile: int = 128,
+    tile: int = 64,
     tau: float = 0.995,
     interpret: bool = False,
 ):

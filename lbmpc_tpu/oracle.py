@@ -51,6 +51,37 @@ def init_window(q: int, d_in: int = 3, d_out: int = 4, dtype=jnp.float64,
     return DataWindow(X, Y, valid, count)
 
 
+def window_from_arrays(X, Y, q: int | None = None, dtype=jnp.float64) -> DataWindow:
+    """Build a (pre-trained) window from stacked observations.
+
+    Accepts X (k, d_in), Y (k, d_out) — e.g. the reference's train_data.mat
+    (7 x 500: rows 1-3 = X, rows 4-7 = Y, ref: hybrid_LBMPC_casadi.m
+    pretraining and DMS_tLBMPC_q500_pretrained golden). If k > q the most
+    recent q points are kept; if k < q the remainder stays invalid.
+    """
+    import numpy as np
+
+    X = np.asarray(X, float)
+    Y = np.asarray(Y, float)
+    if X.shape[0] < X.shape[1] and X.shape[0] in (3,):  # row-layout input
+        X = X.T
+        Y = Y.T
+    k = X.shape[0]
+    if q is None:
+        q = k
+    keep = min(k, q)
+    Xw = np.zeros((q, X.shape[1]))
+    Yw = np.zeros((q, Y.shape[1]))
+    valid = np.zeros(q)
+    Xw[:keep] = X[-keep:]
+    Yw[:keep] = Y[-keep:]
+    valid[:keep] = 1.0
+    return DataWindow(
+        X=jnp.asarray(Xw, dtype), Y=jnp.asarray(Yw, dtype),
+        valid=jnp.asarray(valid, dtype), count=jnp.asarray(keep, jnp.int32),
+    )
+
+
 def push(window: DataWindow, x_new: jax.Array, y_new: jax.Array) -> DataWindow:
     """Insert one observation, overwriting the oldest once the window is full.
 

@@ -117,6 +117,19 @@ def test_learned_model_beats_nominal_open_loop():
     assert e_lrn[50:].sum() < 0.5 * e_nom[50:].sum()
 
 
+def test_pretrained_window_from_golden_train_data(golden):
+    """Pretraining path (ref: train_data.mat 7x500, used by the q500_pretrained
+    golden): window built from stacked arrays gives finite, nonzero estimates."""
+    from lbmpc_tpu.oracle import window_from_arrays
+
+    data = golden("train_data")  # (7, 500): rows 0-2 X, rows 3-6 Y
+    w = window_from_arrays(data[:3], data[3:7], q=500)
+    assert int(w.count) == 500
+    g = nw_estimate(jnp.asarray([-0.1, -0.1, 0.05]), w)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
 def test_make_xi_layout():
     dx = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     du = jnp.asarray([5.0])

@@ -112,6 +112,24 @@ def test_dms_lbmpc_casadi_closed_loop_parity(golden):
     assert err[3].max() < 5e-2  # throttle-rate transient at solver-noise level
 
 
+def test_dms_lbmpc_q10_window_sweep_parity(golden):
+    """Oracle-window sweep point q=10 (ref: valid_qplots_LBMPC.m protocol)."""
+    import dataclasses
+
+    cfg = make_preset("DMS_LBMPC_q10", iterations=400)
+    cfg = dataclasses.replace(cfg, ocp=dataclasses.replace(cfg.ocp, N=50))
+    sc = build_scenario(cfg)
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    ours = np.asarray(res.sys_history)[1:401, :4] + x_wp
+    g = golden("DMS_N50_tLBMPC_q10")  # (4, 501): extra leading column
+    err = np.abs(ours.T - g[:, 1:401])
+    assert err[0].max() < 1e-4
+    assert err[1].max() < 2e-4
+    assert err[3].max() < 5e-2
+
+
 def test_nmpc_casadi_closed_loop_parity(golden):
     """CasADi-family NMPC (true-ODE rollout, N=100) vs DSS_tNMPC golden."""
     import dataclasses
