@@ -12,9 +12,10 @@ problems resident in VMEM across every iteration:
     sits at [:, j*TILE + t]. Column extraction is a static 2-D slice, row
     extraction is a reshape, and the Cholesky rank-1 update is a broadcasted
     2-D multiply — no 3-D ops, no scatter (Mosaic lowers all of it);
-  - the KKT normal matrices for all TILE problems come from one MXU matmul:
-    M = reshape(H_flat + W @ d), with W[(i,j), k] = G[k,i] G[k,j] precomputed
-    (nz^2, mI) — the "normal-matrix-as-matmul" trick;
+  - the KKT normal matrices for all TILE problems come from nz small MXU
+    matmuls: column block j of M is G' (d * G[:, j]) — same FLOPs as the
+    single (nz^2, mI) "W" operand formulation but without its 2 MB VMEM
+    residency (the 16 MB scoped limit is tight at mI ~ 800, tile 128);
   - padding: nz to sublane multiples (identity diagonal), mI to lane multiples
     (h = +BIG rows never activate).
 
@@ -41,7 +42,7 @@ def build_pallas_qp_solver(
     H: np.ndarray,
     G: np.ndarray,
     iters: int = 20,
-    tile: int = 64,
+    tile: int = 128,
     tau: float = 0.995,
     interpret: bool = False,
 ):
@@ -62,8 +63,6 @@ def build_pallas_qp_solver(
         Hp[i, i] = 1.0
     Gp = np.zeros((mI_p, nz_p), np.float32)
     Gp[:mI, :nz] = G
-    W = (Gp[:, :, None] * Gp[:, None, :]).reshape(mI_p, n2).T.copy()
-    H_flat = Hp.reshape(n2, 1).astype(np.float32)
     GT = Gp.T.copy()
 
     def mxu(a, b):
@@ -73,24 +72,18 @@ def build_pallas_qp_solver(
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    def kernel(g_ref, h_ref, GT_ref, G_ref, W_ref, Hf_ref,
+    def kernel(g_ref, h_ref, GT_ref, G_ref, H_ref,
                x_out, conv_out, x_s, s_s, z_s):
         T = tile
         g = g_ref[:]
         h = h_ref[:]
         GTm = GT_ref[:]
         Gm = G_ref[:]
-        Wm = W_ref[:]
-        Hf = Hf_ref[:]
-        Hm = Hf.reshape(nz_p, nz_p)
+        Hm = H_ref[:]
 
         rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
         rows_m = jax.lax.broadcasted_iota(jnp.int32, (mI_p, 1), 0)
         act = jnp.where(rows_m < jnp.int32(mI), 1.0, 0.0).astype(jnp.float32)
-        r2 = jax.lax.broadcasted_iota(jnp.int32, (n2, 1), 0)
-        diag_flat = jnp.where(
-            (r2 % jnp.int32(nz_p)) == (r2 // jnp.int32(nz_p)), 1.0, 0.0
-        ).astype(jnp.float32)
 
         x_s[:] = jnp.zeros((nz_p, T), jnp.float32)
         s_s[:] = jnp.maximum(h, 1.0)
@@ -151,8 +144,17 @@ def build_pallas_qp_solver(
             rp = Gx + s - h
             s_safe = jnp.maximum(s, 1e-25)
             d = jnp.minimum(z / s_safe, 1e7)
-            Mf = Hf + mxu(Wm, d) + 1e-6 * diag_flat             # (n2, T)
-            Mb = Mf.reshape(nz_p, nz_p * T)
+            # M column-block j = G' (d * G[:, j]) + H[:, j] + reg e_j —
+            # nz_p small matmuls instead of one (nz^2, mI) "W" operand, which
+            # would not fit VMEM alongside everything else
+            blocks = []
+            for j in range(nz_p):
+                gcol = Gm[:, j : j + 1]                          # (mI_p, 1)
+                rhs_j = d * gcol                                 # (mI_p, T)
+                Mj = mxu(GTm, rhs_j) + Hm[:, j : j + 1]
+                Mj = Mj + jnp.where(rows_n == j, 1e-6, 0.0)
+                blocks.append(Mj)
+            Mb = jnp.concatenate(blocks, axis=1)                 # (nz_p, nz_p*T)
             Lb = chol(Mb)
 
             def kkt(rc):
@@ -217,8 +219,7 @@ def build_pallas_qp_solver(
                 pl.BlockSpec((mI_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nz_p, mI_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((mI_p, nz_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n2, mI_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n2, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nz_p, nz_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((nz_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -234,7 +235,7 @@ def build_pallas_qp_solver(
                 pltpu.VMEM((mI_p, tile), jnp.float32),
             ],
             interpret=interpret,
-        )(g_t, h_t, jnp.asarray(GT), jnp.asarray(Gp), jnp.asarray(W), jnp.asarray(H_flat))
+        )(g_t, h_t, jnp.asarray(GT), jnp.asarray(Gp), jnp.asarray(Hp))
         return x_t[:nz, :].T, conv[0, :] > 0.5
 
     return solve
