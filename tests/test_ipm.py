@@ -84,6 +84,19 @@ def test_batched_matches_loop():
     assert bool(jnp.all(batch.converged))
 
 
+def test_mixed_precision_refinement():
+    """f32 solve + f64 polish lands within ~1e-5 of the full f64 optimum —
+    device-side accuracy beyond the reference solvers' own tolerance."""
+    from lbmpc_tpu.ops.ipm import solve_qp_mixed
+
+    rng = np.random.default_rng(5)
+    H, g, G, h = _random_qp(rng, 6, 8)
+    full = solve_qp(jnp.asarray(H), jnp.asarray(g), jnp.asarray(G), jnp.asarray(h), iters=30)
+    mixed = solve_qp_mixed(jnp.asarray(H), jnp.asarray(g), jnp.asarray(G), jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(mixed.x), np.asarray(full.x), atol=1e-5)
+    assert bool(mixed.converged)
+
+
 def test_active_constraints_multipliers():
     """KKT: z >= 0 and complementary slackness at the solution."""
     rng = np.random.default_rng(11)
