@@ -46,6 +46,26 @@ def test_lmpc_pointwise_control_parity(golden):
     assert (err > 1e-4).sum() < 10
 
 
+def test_lmpc_n20_pointwise_parity(golden):
+    """BASELINE config 1 (N=20): pointwise control parity at golden states."""
+    sc = build_scenario(make_preset("LMPC_N20"))
+    g = golden("LMPC_N20")["sysH"]
+    dxs = jnp.asarray(g[:4, :-1].T)
+    du_gold = g[4, 1:]
+    Ks = jnp.asarray(sc.ocp.Ks)
+
+    def du_of(dx):
+        z, conv = sc.solve(dx, None, None)
+        return (Ks @ dx + z[:1])[0], conv
+
+    du, conv = jax.vmap(du_of)(dxs)
+    err = np.abs(np.asarray(du) - du_gold)
+    assert bool(jnp.all(conv))
+    assert np.median(err) < 1e-6
+    assert (err > 1e-4).sum() <= 2  # lone fmincon-noise outlier at an active-set step
+    assert err.max() < 2e-3
+
+
 def test_lbmpc_closed_loop_parity(golden):
     """LBMPC fmincon family: 300-step closed loop (learning on) vs golden."""
     steps = 1000 if RUN_SLOW else 300
