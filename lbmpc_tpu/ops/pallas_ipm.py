@@ -89,50 +89,45 @@ def build_pallas_qp_solver(
         s_s[:] = jnp.maximum(h, 1.0)
         z_s[:] = jnp.ones((mI_p, T), jnp.float32)
 
-        # ---- small dense algebra in the (nz_p, nz_p*T) block layout ----
+        # ---- small dense algebra on a static LIST of (nz_p, T) columns ----
+        # Left-looking formulations: every step is a static slice + broadcast
+        # (no concats, no reshapes — those force cross-lane relayouts that
+        # dominated the first on-chip version's runtime).
 
-        def col(Mb, j):
-            return Mb[:, j * T : (j + 1) * T]                  # (nz_p, T)
-
-        def rowmat(Mb, j):
-            """Row j of every problem's matrix as (nz_p, T)."""
-            return Mb[j : j + 1, :].reshape(nz_p, T)
-
-        def chol(Mb):
-            """Block-layout Cholesky via right-looking rank-1 updates."""
-            Lb = jnp.zeros_like(Mb)
+        def chol_cols(Mcols):
+            """Left-looking Cholesky; Mcols/result are lists of (nz_p, T)."""
+            Ls = []
             for j in range(nz_p):
-                cj = col(Mb, j)
-                djj = jnp.sqrt(jnp.maximum(cj[j : j + 1, :], 1e-30))
-                colL = jnp.where(rows_n >= j, cj / djj, 0.0)
-                placed = jnp.concatenate(
-                    [colL if jj == j else jnp.zeros((nz_p, T), jnp.float32)
-                     for jj in range(nz_p)], axis=1)
-                Lb = Lb + placed
-                colb = jnp.where(rows_n > j, colL, 0.0)
-                a2 = jnp.concatenate([colb] * nz_p, axis=1)     # [i,(jj,t)]=colb[i,t]
-                b2 = colb.reshape(1, nz_p * T)                  # [(jj,t)]=colb[jj,t]
-                Mb = Mb - a2 * b2
-            return Lb
+                acc = Mcols[j]
+                for k in range(j):
+                    coef = Ls[k][j : j + 1, :]                  # L[j, k] per lane
+                    acc = acc - coef * Ls[k]
+                djj = jnp.sqrt(jnp.maximum(acc[j : j + 1, :], 1e-30))
+                Ls.append(jnp.where(rows_n >= j, acc / djj, 0.0))
+            return Ls
 
-        def tri_lower(Lb, b):
+        def tri_lower(Ls, b):
+            """Solve L y = b given column list; y as (nz_p, T) via masked adds."""
             y = jnp.zeros_like(b)
             for j in range(nz_p):
-                Lcol = col(Lb, j)
-                yj = b[j : j + 1, :] / Lcol[j : j + 1, :]
+                yj = b[j : j + 1, :] / Ls[j][j : j + 1, :]
                 y = y + jnp.where(rows_n == j, yj, 0.0)
-                b = b - jnp.where(rows_n > j, Lcol * yj, 0.0)
+                b = b - jnp.where(rows_n > j, Ls[j] * yj, 0.0)
             return y
 
-        def tri_upper_t(Lb, y):
+        def tri_upper_t(Ls, y):
+            """Solve L^T x = y: x_j = (y_j - sum_{k>j} L[k,j] x_k) / L[j,j];
+            L[k, j] is a row slice of column j — still column-local."""
+            xs = [None] * nz_p
+            for idx in range(nz_p):
+                j = nz_p - 1 - idx
+                acc = y[j : j + 1, :]
+                for k in range(j + 1, nz_p):
+                    acc = acc - Ls[j][k : k + 1, :] * xs[k]
+                xs[j] = acc / Ls[j][j : j + 1, :]
             x = jnp.zeros_like(y)
-            for k in range(nz_p):
-                j = nz_p - 1 - k
-                Lrow = rowmat(Lb, j)                            # (nz_p, T)
-                Ljj = Lrow[j : j + 1, :]
-                xj = y[j : j + 1, :] / Ljj
-                x = x + jnp.where(rows_n == j, xj, 0.0)
-                y = y - jnp.where(rows_n < j, Lrow * xj, 0.0)
+            for j in range(nz_p):
+                x = x + jnp.where(rows_n == j, xs[j], 0.0)
             return x
 
         def body(it, _):
@@ -144,23 +139,21 @@ def build_pallas_qp_solver(
             rp = Gx + s - h
             s_safe = jnp.maximum(s, 1e-25)
             d = jnp.minimum(z / s_safe, 1e7)
-            # M column-block j = G' (d * G[:, j]) + H[:, j] + reg e_j —
-            # nz_p small matmuls instead of one (nz^2, mI) "W" operand, which
-            # would not fit VMEM alongside everything else
-            blocks = []
+            # M column j = G' (d * G[:, j]) + H[:, j] + reg e_j —
+            # nz_p small matmuls; columns stay a static list (no big operand)
+            Mcols = []
             for j in range(nz_p):
                 gcol = Gm[:, j : j + 1]                          # (mI_p, 1)
                 rhs_j = d * gcol                                 # (mI_p, T)
                 Mj = mxu(GTm, rhs_j) + Hm[:, j : j + 1]
                 Mj = Mj + jnp.where(rows_n == j, 1e-6, 0.0)
-                blocks.append(Mj)
-            Mb = jnp.concatenate(blocks, axis=1)                 # (nz_p, nz_p*T)
-            Lb = chol(Mb)
+                Mcols.append(Mj)
+            Ls = chol_cols(Mcols)
 
             def kkt(rc):
                 t = d * rp - rc / s_safe
                 rhs = -(rd + mxu(GTm, t))
-                dx = tri_upper_t(Lb, tri_lower(Lb, rhs))
+                dx = tri_upper_t(Ls, tri_lower(Ls, rhs))
                 Gdx = mxu(Gm, dx)
                 dz = d * (rp + Gdx) - rc / s_safe
                 ds = -rp - Gdx

@@ -44,13 +44,14 @@ class Scenario:
     solve: "object"        # raw per-step solver (dx, window, z_ws) -> (z, conv)
 
     def run(self, dx_init=None) -> ClosedLoopResult:
-        dx = jnp.asarray(
-            self.cfg.dx_init if dx_init is None else dx_init, jnp.float64
-        )
-        if self.cfg.family == "casadi":
-            dx = jnp.asarray(np.asarray(self.cfg.x_init_abs) - np.asarray(self.cfg.plant.x_wp)) \
-                if dx_init is None else dx
-        return self.episode(dx)
+        """Run one episode; default initial state follows the family's
+        convention (fmincon: delta dx_init; casadi: absolute x_init)."""
+        if dx_init is None:
+            if self.cfg.family == "casadi":
+                dx_init = np.asarray(self.cfg.x_init_abs) - np.asarray(self.cfg.plant.x_wp)
+            else:
+                dx_init = self.cfg.dx_init
+        return self.episode(jnp.asarray(dx_init, jnp.float64))
 
     def run_batch(self, dx_inits) -> ClosedLoopResult:
         return jax.vmap(self.episode)(jnp.asarray(dx_inits))
