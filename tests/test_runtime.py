@@ -77,6 +77,20 @@ def test_failure_masking_no_nan_propagation():
     assert np.isfinite(np.asarray(res.sys_history)[0]).all()
 
 
+def test_fault_injection_isolated_across_lanes():
+    """A poisoned (NaN) scenario must not contaminate its batch neighbors —
+    the batched analog of per-process fault isolation (SURVEY.md §5)."""
+    sc = build_scenario(_small_cfg())
+    good = jnp.asarray([-0.35, -0.4, 0.0, 0.0])
+    bad = jnp.asarray([jnp.nan, -0.4, 0.0, 0.0])
+    res = jax.vmap(sc.episode)(jnp.stack([good, bad]))
+    sysH = np.asarray(res.sys_history)
+    assert np.isfinite(sysH[0]).all()       # healthy lane unaffected
+    assert np.isnan(sysH[1]).any()          # poisoned lane visibly failed
+    ref = np.asarray(sc.episode(good).sys_history)
+    np.testing.assert_allclose(sysH[0], ref, atol=1e-9)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     st = EpisodeState(
