@@ -67,9 +67,9 @@ def _stack(A, N):
 def lqr_backward(A, B, Q, R, P, x0, q=None, r=None, c=None, p=None) -> LQSolution:
     """Sequential Riccati factorization + forward rollout (lax.scan twice).
 
-    A (n,n), B (n,m) time-invariant; Q/R stage costs; P terminal; optional
-    affine terms q (N,n), r (N,m), c (N,n) dynamics offsets, p (n,) terminal
-    linear cost.
+    A (n,n), B (n,m) time-invariant; Q/R stage costs (optionally stage-varying
+    (N, n, n)/(N, m, m)); P terminal; optional affine terms q (N,n), r (N,m),
+    c (N,n) dynamics offsets, p (n,) terminal linear cost.
     """
     n, m = B.shape
     dtype = A.dtype
@@ -78,22 +78,24 @@ def lqr_backward(A, B, Q, R, P, x0, q=None, r=None, c=None, p=None) -> LQSolutio
     r = jnp.zeros((N, m), dtype) if r is None else r
     c = jnp.zeros((N, n), dtype) if c is None else c
     p = jnp.zeros((n,), dtype) if p is None else p
+    Qs = _stack(Q, N) if Q.ndim == 2 else Q
+    Rs = _stack(R, N) if R.ndim == 2 else R
 
     def backward(carry, inp):
         V, v = carry
-        qk, rk, ck = inp
+        Qk, qk, Rk, rk, ck = inp
         BtV = B.T @ V
-        S = R + BtV @ B
+        S = Rk + BtV @ B
         K = -jnp.linalg.solve(S, BtV @ A)
         kf = -jnp.linalg.solve(S, B.T @ (V @ ck + v) + rk)
         Acl = A + B @ K
         # V_k = Q + K'RK + Acl'V Acl ;  v_k = q + K'(r + R kf) + Acl'(V(B kf + c) + v)
-        V1 = Q + K.T @ R @ K + Acl.T @ V @ Acl
-        v1 = qk + K.T @ (rk + R @ kf) + Acl.T @ (V @ (B @ kf + ck) + v)
+        V1 = Qk + K.T @ Rk @ K + Acl.T @ V @ Acl
+        v1 = qk + K.T @ (rk + Rk @ kf) + Acl.T @ (V @ (B @ kf + ck) + v)
         return (V1, v1), (K, kf, V)
 
     (V0, v0), (Ks, kfs, Vs) = jax.lax.scan(
-        backward, (P, p), (q[::-1], r[::-1], c[::-1])
+        backward, (P, p), (Qs[::-1], q[::-1], Rs[::-1], r[::-1], c[::-1])
     )
     Ks = Ks[::-1]
     kfs = kfs[::-1]
@@ -153,6 +155,8 @@ def lqr_parallel(A, B, Q, R, P, x0, q=None, r=None, c=None, p=None) -> LQSolutio
 
     Produces the same (K, k_ff, V) as `lqr_backward` (up to roundoff) — the
     performance variant with identical math to diff against (SURVEY.md §7.4.5).
+    Q and R may be stage-varying ((N, n, n) / (N, m, m)) — the form the sparse
+    IPM's barrier-modified weights take (ops/sparse_ipm.py).
     """
     n, m = B.shape
     dtype = A.dtype
@@ -161,15 +165,17 @@ def lqr_parallel(A, B, Q, R, P, x0, q=None, r=None, c=None, p=None) -> LQSolutio
     r = jnp.zeros((N, m), dtype) if r is None else r
     c = jnp.zeros((N, n), dtype) if c is None else c
     p = jnp.zeros((n,), dtype) if p is None else p
+    Qs = _stack(Q, N) if Q.ndim == 2 else Q
+    Rs = _stack(R, N) if R.ndim == 2 else R
 
-    Rinv = jnp.linalg.inv(R)
-    # stage elements: A_k = A, b_k = c_k - B R^-1 r_k, C_k = B R^-1 B',
-    # eta_k = -q_k, J_k = Q  (value-function dual parametrization)
+    Rinv = jnp.linalg.inv(Rs)                       # (N, m, m)
+    # stage elements: A_k = A, b_k = c_k - B R_k^-1 r_k, C_k = B R_k^-1 B',
+    # eta_k = -q_k, J_k = Q_k  (value-function dual parametrization)
     Ae = _stack(A, N)
-    be = c - (B @ Rinv @ r.T).T
-    Ce = _stack(B @ Rinv @ B.T, N)
+    be = c - jnp.einsum("ij,njk,nk->ni", B, Rinv, r)
+    Ce = jnp.einsum("ij,njk,lk->nil", B, Rinv, B)
     ee = -q
-    Je = _stack(Q, N)
+    Je = Qs
     # terminal element encodes V_N = 1/2 x'Px + p'x
     At = jnp.zeros((1, n, n), dtype)
     bt = jnp.zeros((1, n), dtype)
@@ -193,14 +199,14 @@ def lqr_parallel(A, B, Q, R, P, x0, q=None, r=None, c=None, p=None) -> LQSolutio
     vs = -etas
 
     def gains(Vv):
-        V1, v1, qk, rk, ck = Vv
+        V1, v1, qk, rk, ck, Rk = Vv
         BtV = B.T @ V1
-        S = R + BtV @ B
+        S = Rk + BtV @ B
         K = -jnp.linalg.solve(S, BtV @ A)
         kf = -jnp.linalg.solve(S, B.T @ (V1 @ ck + v1) + rk)
         return K, kf
 
-    Ks, kfs = jax.vmap(gains)((Vs[1:], vs[1:], q, r, c))
+    Ks, kfs = jax.vmap(gains)((Vs[1:], vs[1:], q, r, c, Rs))
 
     def forward(x, inp):
         K, kf, ck = inp

@@ -75,11 +75,19 @@ def make_stage_qp(A, B, Q, R, P, T, LAMBDA, PSI, cs, N, delta) -> StageQP:
     )
 
 
-def _riccati_solve(A, B, Qx, qx, Ru, ru, PN, pN):
+def _riccati_solve(A, B, Qx, qx, Ru, ru, PN, pN, parallel: bool = False):
     """Equality-constrained LQ with stage-varying weights and dx_0 = 0:
     min sum_k 1/2 x'Qx_k x + qx_k'x + 1/2 u'Ru_k u + ru_k'u
         + 1/2 x_N'PN x_N + pN'x_N,   x_{k+1} = A x_k + B u_k.
-    Returns (X (N+1, n), U (N, m))."""
+    Returns (X (N+1, n), U (N, m)). parallel=True routes through the
+    associative-scan factorization (ops/riccati.lqr_parallel, O(log N) depth)."""
+    if parallel:
+        from lbmpc_tpu.ops.riccati import lqr_parallel
+
+        n = A.shape[0]
+        sol = lqr_parallel(A, B, Qx, Ru, PN, jnp.zeros((n,), A.dtype),
+                           q=qx, r=ru, p=pN)
+        return sol.X, sol.U
 
     def backward(carry, inp):
         V, v = carry
@@ -118,13 +126,18 @@ class SparseIPMSolution(NamedTuple):
     converged: jax.Array
 
 
-def solve_sparse(qp: StageQP, x0: jax.Array, iters: int = 25, tau: float = 0.995):
-    """Mehrotra predictor-corrector on the stage form (see module docstring)."""
-    return _solve_sparse(qp, x0, qp.N, iters, tau)
+def solve_sparse(qp: StageQP, x0: jax.Array, iters: int = 25, tau: float = 0.995,
+                 parallel: bool = False):
+    """Mehrotra predictor-corrector on the stage form (see module docstring).
+
+    parallel=True uses the associative-scan Riccati (O(log N) depth per KKT
+    solve) — identical math, horizon-parallel execution."""
+    return _solve_sparse(qp, x0, qp.N, iters, tau, parallel)
 
 
-@functools.partial(jax.jit, static_argnames=("N", "iters"))
-def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float):
+@functools.partial(jax.jit, static_argnames=("N", "iters", "parallel"))
+def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float,
+                  parallel: bool = False):
     n = qp.A.shape[0]
     m = qp.B.shape[1]
     nth = qp.LAM.shape[1]
@@ -218,7 +231,7 @@ def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float):
             qx_cols = jnp.concatenate([jnp.zeros((1, n), dtype), q_st])
             ru_cols = jnp.broadcast_to(CuL @ e, (N, m))
             return _riccati_solve(qp.A, qp.B, Qr, qx_cols, Rt, ru_cols,
-                                  PT, CxN_eff @ e)
+                                  PT, CxN_eff @ e, parallel=parallel)
 
         cols = [theta_col(i) for i in range(nth)]
 
@@ -238,7 +251,8 @@ def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float):
             qx_r = jnp.concatenate([jnp.zeros((1, n), dtype), q_full[: N - 1]])
             pN_r = q_full[N - 1] + aw                          # add terminal-set part
             ru_r = rU + au
-            X0_, U0_ = _riccati_solve(qp.A, qp.B, Qr, qx_r, Rt, ru_r, PT, pN_r)
+            X0_, U0_ = _riccati_solve(qp.A, qp.B, Qr, qx_r, Rt, ru_r, PT, pN_r,
+                                      parallel=parallel)
             rhs_th = -(rth + awth) - coupling_dot(X0_, U0_)
             dth = jnp.linalg.solve(Smat, rhs_th)
             dX = X0_ + sum(dth[i] * cols[i][0] for i in range(nth))
