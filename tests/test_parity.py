@@ -171,6 +171,25 @@ def test_nmpc_casadi_closed_loop_parity(golden):
     assert err[3].max() < 1e-2
 
 
+def test_dss_lmpc_n100_closed_loop_parity(golden):
+    """CasADi DSS tracking LMPC, N=100 (the condensed form IS single
+    shooting): 200 steps vs DSS_tLMPC golden."""
+    import dataclasses
+
+    cfg = make_preset("DMS_LMPC", iterations=200)
+    cfg = dataclasses.replace(cfg, ocp=dataclasses.replace(cfg.ocp, N=100))
+    sc = build_scenario(cfg)
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    ours = np.asarray(res.sys_history)[:200, :4] + x_wp
+    g = golden("DSS_tLMPC")
+    err = np.abs(ours.T - g[:, :200])
+    assert err[0].max() < 1e-4
+    assert err[1].max() < 2e-4
+    assert err[2].max() < 1e-2
+
+
 def test_lmpc_closed_loop_envelope(golden):
     """fmincon-family LMPC closed loop: tight until the active-set transient,
     bounded envelope through it, re-convergence after."""
