@@ -88,6 +88,9 @@ class ScenarioConfig:
     solver: SolverConfig
     controller: Literal["lmpc", "lbmpc", "nmpc"] = "lmpc"
     family: Literal["fmincon", "casadi"] = "fmincon"
+    # BASELINE config 2: LBMPC with a FIXED (pretrained) oracle — no online
+    # window updates; pair with a pretrained window via oracle_pretrain_npz
+    learn_online: bool = True
     iterations: int = 1000
     # fmincon family: delta-coordinate init (ref: LBMPC_RunExample.m:41-44)
     dx_init: tuple = (-0.35, -0.4, 0.0, 0.0)

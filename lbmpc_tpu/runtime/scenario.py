@@ -41,6 +41,7 @@ class Scenario:
     cs: ConstraintSet
     nz: int
     episode: "object"      # jitted (dx_init,) -> ClosedLoopResult
+    episode_with_window: "object"  # (dx_init, window0) -> ClosedLoopResult
     solve: "object"        # raw per-step solver (dx, window, z_ws) -> (z, conv)
 
     def run(self, dx_init=None) -> ClosedLoopResult:
@@ -118,7 +119,7 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
             dx_ref=np.asarray(cfg.dx_ref),
             sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm, dtype=dtype,
         )
-        learn = True
+        learn = cfg.learn_online
     elif cfg.controller == "nmpc":
         solve = make_nmpc_solver(
             cs, ocp.Ks, w, N, p.ts, np.asarray(p.x_wp), p.u_wp,
@@ -132,14 +133,20 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     Ks_eff = ocp.Ks if cfg.family == "fmincon" else np.zeros_like(ocp.Ks)
 
     @jax.jit
-    def episode(dx_init):
+    def episode_with_window(dx_init, window0):
         return run_closed_loop(
             solve, plant, warm,
             jnp.asarray(Ks_eff), jnp.asarray(A), jnp.asarray(B), jnp.asarray(ocp.LAMBDA),
             jnp.asarray(p.x_wp), jnp.asarray([p.u_wp]), dx_init,
-            jnp.zeros(qp.nz), init_window(cfg.oracle.q),
+            jnp.zeros(qp.nz), window0,
             cfg.iterations, learn=learn,
             log_post_state=(cfg.controller != "lbmpc"),
         )
 
-    return Scenario(cfg=cfg, A=A, B=B, ocp=ocp, cs=cs, nz=qp.nz, episode=episode, solve=solve)
+    def episode(dx_init):
+        return episode_with_window(dx_init, init_window(cfg.oracle.q))
+
+    return Scenario(
+        cfg=cfg, A=A, B=B, ocp=ocp, cs=cs, nz=qp.nz,
+        episode=episode, episode_with_window=episode_with_window, solve=solve,
+    )

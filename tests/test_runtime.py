@@ -91,6 +91,24 @@ def test_fault_injection_isolated_across_lanes():
     np.testing.assert_allclose(sysH[0], ref, atol=1e-9)
 
 
+def test_fixed_oracle_no_online_updates(golden):
+    """BASELINE config 2: LBMPC with a fixed pretrained oracle — the data
+    window must stay untouched through the episode."""
+    from lbmpc_tpu.oracle import window_from_arrays
+
+    data = golden("train_data")
+    cfg = dataclasses.replace(
+        _small_cfg(), learn_online=False,
+        oracle=dataclasses.replace(_small_cfg().oracle, q=64),
+    )
+    sc = build_scenario(cfg)
+    w = window_from_arrays(data[:3], data[3:7], q=64)
+    res = sc.episode_with_window(jnp.asarray(cfg.dx_init), w)
+    assert bool(res.solver_converged.all())
+    assert int(res.final_window.count) == 64
+    np.testing.assert_array_equal(np.asarray(res.final_window.Y), np.asarray(w.Y))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     st = EpisodeState(
