@@ -49,6 +49,28 @@ def test_sparse_matches_condensed(problem, N, tol):
     )
 
 
+def test_sparse_parallel_matches_sequential(problem):
+    A, B, ocp, cs = problem
+    N = 100
+    sqp = make_stage_qp(A, B, ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI,
+                        cs, N, delta=TS)
+    dx0 = jnp.asarray([-0.35, -0.4, 0.0, 0.0])
+    seq = solve_sparse(sqp, dx0, iters=25, parallel=False)
+    par = solve_sparse(sqp, dx0, iters=25, parallel=True)
+    assert bool(par.converged)
+    np.testing.assert_allclose(np.asarray(par.U), np.asarray(seq.U), atol=1e-9)
+
+
+def test_sparse_long_horizon(problem):
+    """N=300: the regime where condensing loses to the Riccati factorization."""
+    A, B, ocp, cs = problem
+    sqp = make_stage_qp(A, B, ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI,
+                        cs, 300, delta=TS)
+    sp = solve_sparse(sqp, jnp.asarray([-0.35, -0.4, 0.0, 0.0]), iters=30)
+    assert bool(sp.converged)
+    assert float(sp.max_violation) < 1e-8
+
+
 def test_sparse_dynamics_consistency(problem):
     A, B, ocp, cs = problem
     N = 40
