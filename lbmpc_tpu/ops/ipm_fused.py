@@ -1,0 +1,114 @@
+"""Batch-level IPM with Pallas-fused KKT solves (the hybrid hot path).
+
+`ops.ipm.solve_qp` is written per-problem and vmapped; every micro-op in its
+loop becomes a separate dispatched kernel over the whole batch — measured
+dispatch/HBM-bound on the remote TPU runtime. This variant restructures the
+same Mehrotra iteration at batch level:
+
+  - the KKT normal matrices for the whole batch come from ONE MXU matmul,
+    M_flat = d @ W with W[k, (i,j)] = G[k,i] G[k,j] (precomputed host-side);
+  - the factorization + triangular solves — the dispatch-bound tail — run in
+    the fused Pallas kernels of ops/pallas_chol.py (one factor+solve for the
+    predictor, one resolve for the corrector, per iteration);
+  - everything else is a handful of large batched XLA ops.
+
+float32 with HIGHEST matmul precision (same accuracy class as the vmapped f32
+path — see README bench table; use ops.ipm.solve_qp_mixed for f64-refined
+solutions).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbmpc_tpu.ops.pallas_chol import chol_factor_solve, chol_resolve
+
+
+class FusedBatchSolution(NamedTuple):
+    x: jax.Array          # (B, nz)
+    converged: jax.Array  # (B,)
+    mu: jax.Array         # (B,)
+
+
+def build_fused_qp_solver(H: np.ndarray, G: np.ndarray, iters: int = 20,
+                          tile: int = 512, interpret: bool = False):
+    """Returns solve(g (B, nz), h (B, mI)) -> FusedBatchSolution. H, G shared."""
+    nz = H.shape[0]
+    mI = G.shape[0]
+    H32 = jnp.asarray(H, jnp.float32)
+    G32 = jnp.asarray(G, jnp.float32)
+    W = jnp.asarray(
+        (np.asarray(G, np.float32)[:, :, None] * np.asarray(G, np.float32)[:, None, :])
+        .reshape(mI, nz * nz)
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def solve(g: jax.Array, h: jax.Array) -> FusedBatchSolution:
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            return _solve(g.astype(jnp.float32), h.astype(jnp.float32))
+
+    def _solve(g, h):
+        B = g.shape[0]
+        x = jnp.zeros((B, nz), jnp.float32)
+        s = jnp.maximum(h, 1.0)
+        z = jnp.ones((B, mI), jnp.float32)
+        eye_flat = jnp.eye(nz, dtype=jnp.float32).reshape(-1)
+
+        def body(it, state):
+            x, s, z = state
+            rd = x @ H32.T + g + z @ G32
+            rp = x @ G32.T + s - h
+            s_safe = jnp.maximum(s, 1e-25)
+            d = jnp.minimum(z / s_safe, 1e7)
+            M_flat = d @ W + H32.reshape(-1)[None, :] + 1e-6 * eye_flat[None, :]
+            M = M_flat.reshape(B, nz, nz)
+
+            mu = jnp.sum(s * z, axis=1) / mI
+
+            def rhs_of(rc):
+                t = d * rp - rc / s_safe
+                return -(rd + t @ G32)
+
+            rc_aff = s * z
+            L_flat, dx_a = chol_factor_solve(M, rhs_of(rc_aff), tile=tile,
+                                             interpret=interpret)
+
+            def expand(dx, rc):
+                Gdx = dx @ G32.T
+                dz = d * (rp + Gdx) - rc / s_safe
+                ds = -rp - Gdx
+                return ds, dz
+
+            ds_a, dz_a = expand(dx_a, rc_aff)
+
+            def steplen(v, dv, t_):
+                ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), 1e9)
+                return jnp.minimum(1.0, t_ * jnp.min(ratio, axis=1))
+
+            ap = steplen(s, ds_a, 1.0)[:, None]
+            ad = steplen(z, dz_a, 1.0)[:, None]
+            mu_aff = jnp.sum((s + ap * ds_a) * (z + ad * dz_a), axis=1) / mI
+            sigma = (mu_aff / jnp.maximum(mu, 1e-25)) ** 3
+            rc = s * z + ds_a * dz_a - (sigma * mu)[:, None]
+            dx = chol_resolve(L_flat, rhs_of(rc), nz, tile=tile, interpret=interpret)
+            ds, dz = expand(dx, rc)
+            ap = steplen(s, ds, 0.995)[:, None]
+            ad = steplen(z, dz, 0.995)[:, None]
+            return x + ap * dx, s + ap * ds, z + ad * dz
+
+        x, s, z = jax.lax.fori_loop(0, iters, body, (x, s, z))
+        mu = jnp.sum(s * z, axis=1) / mI
+        rp = x @ G32.T + s - h
+        h_scale = 1.0 + jnp.max(jnp.abs(h), axis=1)
+        conv = jnp.logical_and(
+            mu < 2e-4 * (1.0 + mu * mI),
+            jnp.max(jnp.abs(rp), axis=1) < 2e-3 * h_scale,
+        )
+        return FusedBatchSolution(x=x, converged=conv, mu=mu)
+
+    return solve
