@@ -1,0 +1,137 @@
+"""Batch-level LBMPC SQP with the hybrid fused QP backend.
+
+The vmapped SQP (controllers/sqp.py) dispatches every micro-op of every
+iteration separately; this variant runs the whole Gauss-Newton loop at batch
+level so the QP subproblems go through ops/ipm_fused (one MXU matmul for all
+KKT matrices + Pallas factor/solve), and the rollout/Jacobian/line-search
+phases are large batched XLA ops.
+
+Same math as make_lbmpc_solver (learned-rollout Gauss-Newton cost, constant
+nominal constraint stack, l1-merit Armijo ladder); float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbmpc_tpu.controllers.condensed import CondensedQP
+from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
+from lbmpc_tpu.oracle import make_xi, nw_estimate
+from lbmpc_tpu.ops.ipm_fused import build_fused_qp_solver
+
+_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625)
+
+
+def make_lbmpc_solver_fused(
+    qp: CondensedQP,
+    A: np.ndarray,
+    B: np.ndarray,
+    Ks: np.ndarray,
+    w: LBMPCWeights,
+    family: str = "fmincon",
+    delta: float = 0.01,
+    bandwidth: float = 0.5,
+    ridge: float = 0.001,
+    dx_ref: np.ndarray | None = None,
+    sqp_iters: int = 3,
+    ipm_iters: int = 20,
+    tile: int = 512,
+    rho: float = 1e4,
+    interpret: bool = False,
+):
+    """Returns solve_batch(dx0 (B,n), windows (batched DataWindow), z_ws (B,nz))
+    -> (z (B,nz), converged (B,)). float32 throughput path."""
+    N, n, m = qp.N, qp.n, qp.m
+    f32 = jnp.float32
+    Ad = jnp.asarray(A, f32)
+    Bd = jnp.asarray(B, f32)
+    Ksd = jnp.asarray(np.atleast_2d(Ks), f32)
+    Lq = jnp.asarray(w.Lq, f32)
+    Lr = jnp.asarray(w.Lr, f32)
+    Lp = jnp.asarray(w.Lp, f32)
+    LAM = jnp.asarray(w.LAMBDA, f32)
+    PSI = jnp.asarray(w.PSI, f32)
+    Gd = jnp.asarray(qp.G, f32)
+    h0d = jnp.asarray(qp.h0, f32)
+    Hpd = jnp.asarray(qp.Hp, f32)
+    xs_ref = jnp.zeros((n,), f32) if dx_ref is None else jnp.asarray(dx_ref, f32)
+    sq_delta = float(np.sqrt(delta))
+    fused = build_fused_qp_solver(None, qp.G, iters=ipm_iters, tile=tile,
+                                  interpret=interpret)
+
+    def residual_single(z, dx0, window):
+        cs = z[: N * m].reshape(N, m)
+        theta = z[N * m :]
+
+        def step(x, c):
+            u = Ksd @ x + c if family == "fmincon" else c
+            x1 = Ad @ x + Bd @ u + nw_estimate(make_xi(x, u), window, bandwidth, ridge)
+            return x1, (x, u)
+
+        xN, (xs, us) = jax.lax.scan(step, dx0, cs)
+        xa = LAM @ theta
+        ua = PSI @ theta
+        if family == "fmincon":
+            rx = (xs[: N - 2] - xa) @ Lq.T
+            ru = (us[: N - 2] - ua) @ Lr.T
+        else:
+            rx = sq_delta * ((xs - xa) @ Lq.T)
+            ru = sq_delta * ((us - ua) @ Lr.T)
+        rP = Lp @ (xN - xa)
+        rT = w.sqrtT * (xa - xs_ref)
+        return jnp.concatenate([rx.ravel(), ru.ravel(), rP, rT])
+
+    res_b = jax.vmap(residual_single, in_axes=(0, 0, 0))
+    jac_b = jax.vmap(jax.jacfwd(residual_single), in_axes=(0, 0, 0))
+
+    @jax.jit
+    def solve_batch(dx0, windows, z_ws):
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            return _solve(dx0.astype(f32),
+                          jax.tree.map(lambda a: a.astype(f32)
+                                       if a.dtype != jnp.int32 else a, windows),
+                          z_ws.astype(f32))
+
+    def _solve(dx0, windows, z):
+        h = h0d[None, :] + dx0 @ Hpd.T
+
+        def cost(zb):
+            e = res_b(zb, dx0, windows)
+            return jnp.sum(e * e, axis=1)
+
+        def merit(zb):
+            viol = jnp.sum(jnp.maximum(zb @ Gd.T - h, 0.0), axis=1)
+            return cost(zb) + rho * viol, viol
+
+        conv = jnp.ones((dx0.shape[0],), bool)
+        for _ in range(sqp_iters):
+            e = res_b(z, dx0, windows)
+            J = jac_b(z, dx0, windows)                     # (B, ne, nz)
+            Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
+            Hb = Hb + 1e-6 * jnp.eye(Hb.shape[-1], dtype=f32)[None]
+            gb = 2.0 * jnp.einsum("bei,be->bi", J, e, precision=jax.lax.Precision.HIGHEST)
+            sub = fused.solve_with_H(Hb, gb, h - z @ Gd.T)
+            d = sub.x
+            conv = sub.converged
+            m0, v0 = merit(z)
+            dirderiv = jnp.sum(gb * d, axis=1) - rho * v0
+            # fixed Armijo ladder, batched; if every alpha is rejected (e.g. a
+            # diverged f32 QP direction, possibly NaN), take NO step — a NaN
+            # merit compares false everywhere, so the lane would otherwise
+            # step blindly by the smallest alpha and poison itself
+            accepted = jnp.zeros_like(m0, bool)
+            alpha_sel = jnp.zeros_like(m0)
+            for a in _ALPHAS:
+                m_a, _ = merit(z + a * d)
+                ok = jnp.logical_and(~accepted, m_a <= m0 + 1e-4 * a * dirderiv)
+                alpha_sel = jnp.where(ok, a, alpha_sel)
+                accepted = jnp.logical_or(accepted, ok)
+            d = jnp.where(jnp.isfinite(d), d, 0.0)
+            z = z + alpha_sel[:, None] * d
+        return z, conv
+
+    return solve_batch

@@ -35,37 +35,54 @@ class FusedBatchSolution(NamedTuple):
     mu: jax.Array         # (B,)
 
 
-def build_fused_qp_solver(H: np.ndarray, G: np.ndarray, iters: int = 20,
+def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
                           tile: int = 512, interpret: bool = False):
-    """Returns solve(g (B, nz), h (B, mI)) -> FusedBatchSolution. H, G shared."""
-    nz = H.shape[0]
+    """Returns solve(g (B, nz), h (B, mI)) -> FusedBatchSolution (H, G shared),
+    plus a per-problem-Hessian variant solve.solve_with_H(H_b (B, nz, nz), g, h)
+    for SQP subproblems whose Gauss-Newton Hessians differ per scenario."""
+    nz = G.shape[1]
     mI = G.shape[0]
-    H32 = jnp.asarray(H, jnp.float32)
+    H32 = jnp.asarray(H, jnp.float32) if H is not None else None
     G32 = jnp.asarray(G, jnp.float32)
     W = jnp.asarray(
         (np.asarray(G, np.float32)[:, :, None] * np.asarray(G, np.float32)[:, None, :])
         .reshape(mI, nz * nz)
     )
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def solve(g: jax.Array, h: jax.Array) -> FusedBatchSolution:
         with jax.enable_x64(False), jax.default_matmul_precision("highest"):
-            return _solve(g.astype(jnp.float32), h.astype(jnp.float32))
+            return _solve(H32.reshape(-1)[None, :], g.astype(jnp.float32),
+                          h.astype(jnp.float32))
 
-    def _solve(g, h):
+    @jax.jit
+    def solve_with_H(H_b: jax.Array, g: jax.Array, h: jax.Array) -> FusedBatchSolution:
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            return _solve(H_b.reshape(H_b.shape[0], -1).astype(jnp.float32),
+                          g.astype(jnp.float32), h.astype(jnp.float32))
+
+    def _solve(Hflat_b, g, h):
         B = g.shape[0]
         x = jnp.zeros((B, nz), jnp.float32)
         s = jnp.maximum(h, 1.0)
         z = jnp.ones((B, mI), jnp.float32)
         eye_flat = jnp.eye(nz, dtype=jnp.float32).reshape(-1)
 
+        Hb = Hflat_b.reshape(-1, nz, nz)  # (1 or B, nz, nz)
+        shared_H = Hb.shape[0] == 1
+
+        def Hx(x):
+            if shared_H:
+                return x @ Hb[0].T
+            return jnp.einsum("bij,bj->bi", Hb, x)
+
         def body(it, state):
             x, s, z = state
-            rd = x @ H32.T + g + z @ G32
+            rd = Hx(x) + g + z @ G32
             rp = x @ G32.T + s - h
             s_safe = jnp.maximum(s, 1e-25)
             d = jnp.minimum(z / s_safe, 1e7)
-            M_flat = d @ W + H32.reshape(-1)[None, :] + 1e-6 * eye_flat[None, :]
+            M_flat = d @ W + Hflat_b + 1e-6 * eye_flat[None, :]
             M = M_flat.reshape(B, nz, nz)
 
             mu = jnp.sum(s * z, axis=1) / mI
@@ -111,4 +128,5 @@ def build_fused_qp_solver(H: np.ndarray, G: np.ndarray, iters: int = 20,
         )
         return FusedBatchSolution(x=x, converged=conv, mu=mu)
 
+    solve.solve_with_H = solve_with_H
     return solve

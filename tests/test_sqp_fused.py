@@ -1,0 +1,50 @@
+"""Fused batch-level LBMPC SQP vs the vmapped f64 SQP — interpret CI."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+from lbmpc_tpu.controllers.lbmpc import LBMPCWeights, make_lbmpc_solver
+from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
+from lbmpc_tpu.models.mgcm import mgcm_dlti
+from lbmpc_tpu.oracle import init_window
+from lbmpc_tpu.sets.terminal import get_cons_poly
+from lbmpc_tpu.synthesis import mat_ocp
+
+
+def test_fused_sqp_matches_f64_sqp():
+    A, B, C, _ = mgcm_dlti()
+    ocp = mat_ocp(A, B, C)
+    cs = get_cons_poly(
+        x_min=[0.0, 1.1875, 0.1547, -20.0], x_max=[1.0, 2.1875, 2.1547, 20.0],
+        u_min=0.1547, u_max=2.1547, state_uncert=[0.02, 5e-4, 0, 0],
+        x_wp=[0.5, 1.6875, 1.1547, 0.0], u_wp=1.1547,
+        A=A, B=B, Q=np.eye(4), R=np.eye(1),
+        LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+    )
+    qp = build_fmincon_lmpc(A, B, ocp.Ks, ocp.Q, ocp.R, ocp.P, ocp.T,
+                            ocp.LAMBDA, ocp.PSI, cs, 20,
+                            terminal_at="first", tighten_first_step=True)
+    w = LBMPCWeights.make(ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI)
+    rng = np.random.default_rng(0)
+    batch, q = 128, 32
+    dx0 = jnp.asarray(np.array([-0.35, -0.4, 0.0, 0.0]) + 0.01 * rng.standard_normal((batch, 4)))
+    win = init_window(q)
+    wins = type(win)(
+        X=jnp.asarray(0.1 * rng.standard_normal((batch, q, 3))),
+        Y=jnp.asarray(0.001 * rng.standard_normal((batch, q, 4))),
+        valid=jnp.ones((batch, q)), count=jnp.full((batch,), q, jnp.int32),
+    )
+    z0 = jnp.zeros((batch, qp.nz))
+    fused = make_lbmpc_solver_fused(qp, A, B, ocp.Ks, w, sqp_iters=3,
+                                    ipm_iters=20, tile=128, interpret=True)
+    zf, conv = fused(dx0, wins, z0)
+    assert not np.isnan(np.asarray(zf)).any()
+    assert float(np.asarray(conv).mean()) > 0.9
+    ref = make_lbmpc_solver(qp, A, B, ocp.Ks, w, sqp_iters=3, ipm_iters=25)
+    z_ref, _ = jax.jit(jax.vmap(ref))(dx0, wins, z0)
+    err0 = np.abs(np.asarray(zf)[:, 0] - np.asarray(z_ref)[:, 0])
+    assert np.median(err0) < 1e-6
+    assert err0.max() < 1e-3
