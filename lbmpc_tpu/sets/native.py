@@ -56,6 +56,11 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, dp, dp,
         ctypes.POINTER(ctypes.c_ubyte), ctypes.c_double,
     ]
+    lib.polylp_vertices.restype = ctypes.c_int
+    lib.polylp_vertices.argtypes = [
+        ctypes.c_int, ctypes.c_int, dp, dp,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int, dp,
+    ]
     _lib = lib
     return _lib
 
@@ -113,6 +118,28 @@ def min_hrep_mask(F: np.ndarray, h: np.ndarray, tol: float = 1e-9) -> np.ndarray
     if kept < 0:
         raise RuntimeError("polylp_min_hrep failed")
     return keep.astype(bool)
+
+
+def vertices(F: np.ndarray, h: np.ndarray, feas_tol: float = 1e-9,
+             dedup_tol: float = 1e-8, max_out: int = 8192) -> np.ndarray | None:
+    """Vertex enumeration of {Fx<=h} via the native basic-solution core.
+
+    Returns (V, n) vertices, or None when the instance is out of the native
+    budget (too many row combinations / vertices) so the caller should fall
+    back to qhull.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native polylp unavailable")
+    F = np.ascontiguousarray(F, float)
+    h = np.ascontiguousarray(h, float)
+    m, n = F.shape
+    V = np.empty((max_out, n))
+    cnt = lib.polylp_vertices(n, m, _ptr(F), _ptr(h), feas_tol, dedup_tol,
+                              max_out, _ptr(V))
+    if cnt < 0:
+        return None
+    return V[:cnt].copy()
 
 
 def available() -> bool:

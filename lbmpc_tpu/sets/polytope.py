@@ -168,7 +168,17 @@ class Polytope:
         return Polytope(self.F, self.h - shrink)
 
     def vertices(self) -> np.ndarray:
-        """Vertex enumeration via scipy HalfspaceIntersection (needs interior pt)."""
+        """Vertex enumeration: native basic-solution core (native/polylp.cpp
+        polylp_vertices) with scipy HalfspaceIntersection (qhull) fallback for
+        instances past the native combination budget."""
+        if _use_native():
+            from lbmpc_tpu.sets import native
+
+            V = native.vertices(self.F, self.h)
+            if V is not None:
+                if V.shape[0] == 0:
+                    raise ValueError("polytope has no vertices (empty or unbounded)")
+                return np.unique(np.round(V, 9), axis=0)
         c, r = self.chebyshev_center()
         if r <= 1e-12:
             raise ValueError("polytope has empty interior; cannot enumerate vertices")
@@ -245,13 +255,38 @@ def _fourier_motzkin_step(F: np.ndarray, h: np.ndarray, j: int):
 
 
 def from_vertices(pts: np.ndarray) -> Polytope:
-    """Convex hull of points -> H-rep polytope."""
+    """Convex hull of points -> H-rep polytope.
+
+    Native path: polar duality. With the centroid c strictly inside the
+    (full-dimensional) hull, the dual polytope {y : (p_i - c)'y <= 1} is
+    bounded, and each of its vertices v is one facet v'(x - c) <= 1 of
+    conv(pts) — so facet enumeration reuses the native vertex enumerator.
+    Degenerate (rank-deficient) hulls fall back to qhull.
+    """
     pts = np.asarray(pts, float)
+    P = _from_vertices_dual(pts) if _use_native() else None
+    if P is not None:
+        return P
     hull = scipy.spatial.ConvexHull(pts, qhull_options="QJ" if pts.shape[1] > 3 else None)
     # hull.equations: [normal, offset] with normal . x + offset <= 0
     F = hull.equations[:, :-1]
     h = -hull.equations[:, -1]
     return Polytope(F, h).min_hrep()
+
+
+def _from_vertices_dual(pts: np.ndarray) -> Polytope | None:
+    from lbmpc_tpu.sets import native
+
+    c = pts.mean(axis=0)
+    Q = pts - c
+    n = pts.shape[1]
+    scale = np.abs(Q).max()
+    if scale <= 0 or np.linalg.matrix_rank(Q, tol=1e-9 * scale) < n:
+        return None  # flat hull: polar dual unbounded
+    V = native.vertices(Q, np.ones(Q.shape[0]))
+    if V is None or V.shape[0] < n + 1:
+        return None
+    return Polytope(V, 1.0 + V @ c).min_hrep()
 
 
 def box(lo: np.ndarray, hi: np.ndarray) -> Polytope:

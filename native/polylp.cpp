@@ -183,6 +183,41 @@ int lp_support(int n, int m, const double* c, const double* F, const double* h,
   return 0;
 }
 
+// Solve the n x n system A v = b by Gaussian elimination with partial
+// pivoting. Returns false if the pivot ratio signals singularity.
+bool dense_solve(int n, std::vector<double>& A, std::vector<double>& b,
+                 double rcond_tol) {
+  double amax = 0.0;
+  for (int i = 0; i < n * n; ++i) amax = std::max(amax, std::fabs(A[i]));
+  if (amax == 0.0) return false;
+  for (int k = 0; k < n; ++k) {
+    int piv = k;
+    double pv = std::fabs(A[k * n + k]);
+    for (int i = k + 1; i < n; ++i) {
+      const double v = std::fabs(A[i * n + k]);
+      if (v > pv) { pv = v; piv = i; }
+    }
+    if (pv < rcond_tol * amax) return false;
+    if (piv != k) {
+      for (int j = 0; j < n; ++j) std::swap(A[k * n + j], A[piv * n + j]);
+      std::swap(b[k], b[piv]);
+    }
+    const double d = A[k * n + k];
+    for (int i = k + 1; i < n; ++i) {
+      const double f = A[i * n + k] / d;
+      if (f == 0.0) continue;
+      for (int j = k; j < n; ++j) A[i * n + j] -= f * A[k * n + j];
+      b[i] -= f * b[k];
+    }
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double v = b[i];
+    for (int j = i + 1; j < n; ++j) v -= A[i * n + j] * b[j];
+    b[i] = v / A[i * n + i];
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -240,6 +275,76 @@ int polylp_min_hrep(int n, int m, const double* F, const double* h,
     kept += k[i];
   }
   return kept;
+}
+
+// Vertex enumeration of {x : F x <= h} by basic-solution enumeration: every
+// vertex of a (bounded, full-dimensional) polytope is the unique solution of
+// n active constraint rows, so walk all n-subsets, solve, and keep feasible
+// solutions. Replaces scipy.spatial.HalfspaceIntersection (itself qhull) for
+// the offline set layer (ref: MPT's extreme() used by reach_set.m:5-11 /
+// calc_mRPIS.m:61-64 V-rep steps). Intended for the small synthesis polytopes
+// (m up to ~60, n <= 6); the caller falls back to qhull when the subset count
+// exceeds the budget.
+//
+// Duplicates from degenerate vertices are merged with absolute tolerance
+// dedup_tol. Returns the vertex count, -1 if the combination budget
+// (20e6) is exceeded, -2 if more than max_out distinct vertices were found.
+int polylp_vertices(int n, int m, const double* F, const double* h,
+                    double feas_tol, double dedup_tol, int max_out,
+                    double* V_out) {
+  if (n < 1 || m < n) return 0;
+  // combination-count guard: C(m, n) with early exit
+  double combos = 1.0;
+  for (int i = 0; i < n; ++i) combos = combos * (m - i) / (i + 1);
+  if (combos > 20e6) return -1;
+
+  double hmax = 1.0;
+  for (int i = 0; i < m; ++i) hmax = std::max(hmax, std::fabs(h[i]));
+
+  std::vector<int> idx(n);
+  for (int i = 0; i < n; ++i) idx[i] = i;
+  std::vector<double> A(n * n), b(n);
+  int count = 0;
+  const double dd2 = dedup_tol * dedup_tol;
+
+  while (true) {
+    for (int r = 0; r < n; ++r) {
+      std::memcpy(A.data() + r * n, F + idx[r] * n, n * sizeof(double));
+      b[r] = h[idx[r]];
+    }
+    if (dense_solve(n, A, b, 1e-10)) {
+      // feasibility: F v <= h + tol (scaled)
+      bool feas = true;
+      for (int i = 0; i < m && feas; ++i) {
+        double fv = 0.0;
+        for (int j = 0; j < n; ++j) fv += F[i * n + j] * b[j];
+        if (fv > h[i] + feas_tol * (1.0 + hmax)) feas = false;
+      }
+      if (feas) {
+        bool dup = false;
+        for (int v = 0; v < count && !dup; ++v) {
+          double d2 = 0.0;
+          for (int j = 0; j < n; ++j) {
+            const double dj = V_out[v * n + j] - b[j];
+            d2 += dj * dj;
+          }
+          dup = d2 < dd2;
+        }
+        if (!dup) {
+          if (count >= max_out) return -2;
+          std::memcpy(V_out + count * n, b.data(), n * sizeof(double));
+          ++count;
+        }
+      }
+    }
+    // next combination (lexicographic)
+    int k = n - 1;
+    while (k >= 0 && idx[k] == m - n + k) --k;
+    if (k < 0) break;
+    ++idx[k];
+    for (int j = k + 1; j < n; ++j) idx[j] = idx[j - 1] + 1;
+  }
+  return count;
 }
 
 }  // extern "C"

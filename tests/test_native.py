@@ -77,3 +77,67 @@ def test_pipeline_native_equals_scipy(lib, monkeypatch):
     assert Polytope(cs_native.F_w_N, cs_native.h_w_N).set_equals(
         Polytope(cs_scipy.F_w_N, cs_scipy.h_w_N), tol=1e-8
     )
+
+
+def test_native_vertex_enumeration_box(lib):
+    """Unit cube in R^3: exactly the 8 corners."""
+    b = box(-np.ones(3), np.ones(3))
+    V = native.vertices(b.F, b.h)
+    assert V is not None and V.shape == (8, 3)
+    got = set(map(tuple, np.round(V, 9)))
+    want = {tuple(v) for v in np.array(np.meshgrid(*[[-1.0, 1.0]] * 3)).T.reshape(-1, 3)}
+    assert got == want
+
+
+def test_native_vertices_match_scipy_random(lib):
+    """Random bounded polytopes: native vertex set == qhull vertex set."""
+    rng = np.random.default_rng(1)
+    for trial in range(5):
+        n = 3
+        F = np.vstack([np.eye(n), -np.eye(n), rng.standard_normal((8, n))])
+        h = np.concatenate([np.full(2 * n, 1.5), rng.uniform(0.8, 2.0, 8)])
+        p = Polytope(F, h)
+        Vn = native.vertices(F, h)
+        assert Vn is not None
+        os.environ["LBMPC_TPU_NO_NATIVE"] = "1"
+        try:
+            Vs = p.vertices()
+        finally:
+            del os.environ["LBMPC_TPU_NO_NATIVE"]
+        assert Vn.shape[0] == Vs.shape[0]
+        # match rows up to ordering
+        d = np.linalg.norm(Vn[:, None, :] - Vs[None, :, :], axis=2)
+        assert d.min(axis=1).max() < 1e-6
+
+
+def test_from_vertices_dual_matches_qhull(lib):
+    """Native polar-dual facet enumeration == scipy ConvexHull H-rep."""
+    from lbmpc_tpu.sets.polytope import from_vertices
+
+    rng = np.random.default_rng(2)
+    pts = rng.standard_normal((30, 3))
+    p_native = from_vertices(pts)
+    os.environ["LBMPC_TPU_NO_NATIVE"] = "1"
+    try:
+        p_scipy = from_vertices(pts)
+        assert p_native.set_equals(p_scipy, tol=1e-6)
+    finally:
+        del os.environ["LBMPC_TPU_NO_NATIVE"]
+
+
+def test_native_vertices_budget_fallback(lib):
+    """Past the native combination budget the wrapper signals fallback."""
+    rng = np.random.default_rng(3)
+    n = 8
+    F = np.vstack([np.eye(n), -np.eye(n), rng.standard_normal((200, n))])
+    h = np.concatenate([np.full(2 * n, 1.0), rng.uniform(1.0, 3.0, 200)])
+    assert native.vertices(F, h) is None  # C(216, 8) >> budget
+
+
+def test_minkowski_sum_uses_native_path(lib):
+    """reach_set-style Minkowski sum runs through the native V-rep path."""
+    a = box(-np.ones(2), np.ones(2))
+    c = box(-0.5 * np.ones(2), 0.5 * np.ones(2))
+    s = a.minkowski_sum(c)
+    want = box(-1.5 * np.ones(2), 1.5 * np.ones(2))
+    assert s.set_equals(want, tol=1e-7)
