@@ -48,44 +48,63 @@ def main():
     rng = np.random.default_rng(0)
     dt = jnp.float32
 
-    def batch_inputs(batch):
+    def batch_inputs(batch, R):
         dx = jnp.asarray(
-            np.array([-0.35, -0.4, 0.0, 0.0]) + 0.01 * rng.standard_normal((batch, 4)),
+            np.array([-0.35, -0.4, 0.0, 0.0])
+            + 0.01 * rng.standard_normal((R, batch, 4)),
             dt,
         )
         window = init_window(q, dtype=dt)
         windows = type(window)(
-            X=jnp.asarray(0.1 * rng.standard_normal((batch, q, 3)), dt),
-            Y=jnp.asarray(0.001 * rng.standard_normal((batch, q, 4)), dt),
-            valid=jnp.ones((batch, q), dt),
-            count=jnp.full((batch,), q, jnp.int32),
+            X=jnp.asarray(0.1 * rng.standard_normal((R, batch, q, 3)), dt),
+            Y=jnp.asarray(0.001 * rng.standard_normal((R, batch, q, 4)), dt),
+            valid=jnp.ones((R, batch, q), dt),
+            count=jnp.full((R, batch), q, jnp.int32),
         )
-        z0 = jnp.zeros((batch, sc.nz), dt)
+        z0 = jnp.zeros((R, batch, sc.nz), dt)
         return dx, windows, z0
 
-    solve_batched = jax.jit(jax.vmap(sc.solve))
+    solve_b = jax.vmap(sc.solve)
+
+    # Production shape: the closed loop runs hundreds of sequential batched
+    # solves inside one jitted scan, so the dispatch overhead of the remote
+    # runtime (~25 ms/call) is amortized. Measure R solves per call the same
+    # way and report per-solve throughput.
+    def make_scan(R):
+        @jax.jit
+        def run(dx, windows, z0):
+            def body(acc, inp):
+                d, w, z = inp
+                zs, conv = solve_b(d, w, z)
+                return acc + jnp.sum(zs[:, 0]), conv
+
+            acc, convs = jax.lax.scan(body, jnp.float32(0.0), (dx, windows, z0))
+            return acc, convs
+
+        return run
 
     def force(out):
         # axon remote backend: block_until_ready does not reliably block;
-        # force completion via a host transfer
+        # force completion via a host transfer of a scalar
         return float(np.asarray(out[0]).ravel()[0])
 
     best = None
-    for batch in (2048, 8192):
-        dx, windows, z0 = batch_inputs(batch)
-        force(solve_batched(dx, windows, z0))
+    for batch, R in ((8192, 1), (8192, 8)):
+        dx, windows, z0 = batch_inputs(batch, R)
+        run = make_scan(R)
+        force(run(dx, windows, z0))
         reps = 5
         times = []
         out = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = solve_batched(dx, windows, z0)
+            out = run(dx, windows, z0)
             force(out)
             times.append(time.perf_counter() - t0)
-        step = float(np.median(times))
+        step = float(np.median(times)) / R
         sps = batch / step
         conv = float(np.mean(np.asarray(out[1])))
-        cand = dict(batch=batch, step_ms=step * 1e3, solves_per_s=sps, conv=conv)
+        cand = dict(batch=batch, R=R, step_ms=step * 1e3, solves_per_s=sps, conv=conv)
         if best is None or sps > best["solves_per_s"]:
             best = cand
 
@@ -98,6 +117,7 @@ def main():
                 "unit": "solves/s",
                 "vs_baseline": round(best["solves_per_s"] * ref_solve_s, 1),
                 "batch": best["batch"],
+                "solves_per_call": best["R"] * best["batch"],
                 "batched_step_ms": round(best["step_ms"], 2),
                 "converged_frac": round(best["conv"], 4),
                 "backend": jax.default_backend(),

@@ -13,12 +13,17 @@ from typing import Literal
 
 import numpy as np
 
-from lbmpc_tpu.models.mgcm import MGCM_EQ_X, MGCM_EQ_U, TS
+from lbmpc_tpu.models.mgcm import MG2_EQ_X, MG2_EQ_U, MGCM_EQ_X, MGCM_EQ_U, TS
 
 
 @dataclasses.dataclass(frozen=True)
 class MGCMConfig:
-    """Plant-side constants (ref: examples/LBMPC_RunExample.m:22-56)."""
+    """Plant-side constants (ref: examples/LBMPC_RunExample.m:22-56).
+
+    model="mg2" selects the 2-state Moore-Greitzer reduction (throttle as
+    direct input; BASELINE config 1) — override the box/working-point tuples
+    with 2-vectors (see the MG2_* presets).
+    """
 
     ts: float = TS
     # box constraints (absolute coordinates)
@@ -31,10 +36,11 @@ class MGCMConfig:
     u_wp: float = MGCM_EQ_U
     # uncertainty bound (ref: LBMPC_RunExample.m:38)
     state_uncert: tuple = (0.02, 5e-4, 0.0, 0.0)
+    model: Literal["mgcm4", "mg2"] = "mgcm4"
 
     @property
     def n(self) -> int:
-        return 4
+        return len(self.x_wp)
 
     @property
     def m(self) -> int:
@@ -148,6 +154,42 @@ def make_preset(name: str, **overrides) -> ScenarioConfig:
                     controller="lbmpc", family="casadi", iterations=500,
                 )
             )
+        # BASELINE config 1: nominal linear tracking MPC on the 2-state
+        # Moore-Greitzer model, N=20, box input/state constraints
+        mg2_plant = MGCMConfig(
+            x_min=(0.0, 1.1875), x_max=(1.0, 2.1875),
+            x_wp=tuple(MG2_EQ_X), u_wp=MG2_EQ_U,
+            state_uncert=(0.02, 5e-4), model="mg2",
+        )
+        mg2_oracle = OracleConfig(d_out=2)
+        _register(
+            ScenarioConfig(
+                name="MG2_LMPC_N20", plant=mg2_plant,
+                ocp=OCPConfig(N=20, poles=(0.75, 0.78), terminal_at="last"),
+                oracle=mg2_oracle, solver=base_solver,
+                controller="lmpc", family="fmincon",
+                dx_init=(-0.35, -0.4), dx_ref=(0.0, 0.0),
+                x_init_abs=(0.15, 1.2875),
+            )
+        )
+        # NOTE: the reference's LBMPC constraint quirks (K_t-based robust
+        # terminal set applied at k=1, getCONSPOLY.m:38-69) destabilize the
+        # reduced plant: its linearization has unstable complex poles and the
+        # K_t set does not contract under the actual Ks prestabilizer — the
+        # closed loop limit-cycles along the state box. The MG2 preset uses
+        # the standard layout instead: Ks-consistent MPIS terminal set at k=N
+        # (verified converging; see test_mg2_lbmpc_converges).
+        _register(
+            ScenarioConfig(
+                name="MG2_LBMPC_N20", plant=mg2_plant,
+                ocp=OCPConfig(N=20, poles=(0.75, 0.78), terminal_at="last",
+                              tighten_first_step=False),
+                oracle=mg2_oracle, solver=base_solver,
+                controller="lbmpc", family="fmincon",
+                dx_init=(-0.35, -0.4), dx_ref=(0.0, 0.0),
+                x_init_abs=(0.15, 1.2875),
+            )
+        )
         _register(
             ScenarioConfig(
                 name="DMS_LMPC", plant=base_plant,

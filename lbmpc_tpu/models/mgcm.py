@@ -53,7 +53,8 @@ def mgcm_ode(x: jax.Array, u: jax.Array) -> jax.Array:
     return jnp.stack([f1, f2, f3, f4], axis=-1)
 
 
-def rk4_step(x: jax.Array, u: jax.Array, dt: float, substeps: int = 1) -> jax.Array:
+def rk4_step(x: jax.Array, u: jax.Array, dt: float, substeps: int = 1,
+             ode=None) -> jax.Array:
     """Classic RK4 over one sample period with `substeps` sub-intervals.
 
     With substeps=1 this reproduces the reference CasADi-family plant exactly
@@ -61,12 +62,13 @@ def rk4_step(x: jax.Array, u: jax.Array, dt: float, substeps: int = 1) -> jax.Ar
     high-accuracy integrator for validation.
     """
     h = dt / substeps
+    f = mgcm_ode if ode is None else ode
 
     def body(x, _):
-        k1 = mgcm_ode(x, u)
-        k2 = mgcm_ode(x + h / 2.0 * k1, u)
-        k3 = mgcm_ode(x + h / 2.0 * k2, u)
-        k4 = mgcm_ode(x + h * k3, u)
+        k1 = f(x, u)
+        k2 = f(x + h / 2.0 * k1, u)
+        k3 = f(x + h / 2.0 * k2, u)
+        k4 = f(x + h * k3, u)
         return x + h / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4), None
 
     if substeps == 1:
@@ -91,6 +93,7 @@ def rk23_step(
     rtol: float = 1e-3,
     atol: float = 1e-6,
     max_steps: int = 64,
+    ode=None,
 ) -> jax.Array:
     """Integrate the MGCM ODE over [0, dt] with an adaptive Bogacki-Shampine
     RK23 scheme — a jit/vmap-compatible equivalent of MATLAB `ode23` as used by
@@ -102,6 +105,7 @@ def rk23_step(
     trajectory only in the error norm — under vmap each lane adapts its own
     step sequence (lanes run lock-step but with per-lane h; masked updates).
     """
+    fode = mgcm_ode if ode is None else ode
     threshold = atol / rtol
     # MATLAB ode23 defaults hmax = 0.1*(tf - t0); this is what actually bounds
     # the local error for the short Ts=0.01 plant steps the reference takes.
@@ -112,7 +116,7 @@ def rk23_step(
         scale = jnp.maximum(jnp.maximum(jnp.abs(y), jnp.abs(ynew)), threshold)
         return jnp.max(jnp.abs(e / scale), axis=-1)
 
-    f0 = mgcm_ode(x, u)
+    f0 = fode(x, u)
     # MATLAB-style initial step selection (ode23: hmax clip, rh heuristic)
     scale0 = jnp.maximum(jnp.abs(x), threshold)
     rh = jnp.max(jnp.abs(f0 / scale0), axis=-1) / (0.8 * rtol ** (1.0 / 3.0))
@@ -128,12 +132,12 @@ def rk23_step(
         h_eff = jnp.minimum(h, dt - t)
         he = h_eff[..., None] if y.ndim > 1 else h_eff
         k1 = f
-        k2 = mgcm_ode(y + he * _BS_A2 * k1, u)
-        k3 = mgcm_ode(y + he * _BS_A3 * k2, u)
+        k2 = fode(y + he * _BS_A2 * k1, u)
+        k3 = fode(y + he * _BS_A3 * k2, u)
         ynew = y + he * (
             _BS_B[0] * k1 + _BS_B[1] * k2 + _BS_B[2] * k3
         )
-        k4 = mgcm_ode(ynew, u)
+        k4 = fode(ynew, u)
         k_stack = jnp.stack([k1, k2, k3, k4], axis=-2)
         err = err_norm(k_stack, h_eff[..., None] if y.ndim > 1 else h_eff, y, ynew)
         accept = err <= rtol
@@ -193,3 +197,56 @@ def nominal_step(x: jax.Array, u: jax.Array, Ad: jax.Array, Bd: jax.Array) -> ja
     Ref: models/nominalModel.m:28. Batched: x (..., n), u (..., m).
     """
     return jnp.einsum("ij,...j->...i", Ad, x) + jnp.einsum("ij,...j->...i", Bd, u)
+
+
+# ---------------------------------------------------------------------------
+# 2-state Moore-Greitzer model (BASELINE config 1)
+#
+# The classic surge-dynamics reduction of the MGCM: keep mass flow x1 and
+# pressure rise x2 (models/trueModel.m:36-38) and take the throttle opening as
+# the DIRECT control input, dropping the second-order throttle actuator
+# (trueModel.m:39-41, states x3/x4). Same compressor characteristic, same
+# operating point; u_eq equals the 4-state equilibrium throttle opening.
+# ---------------------------------------------------------------------------
+
+MG2_EQ_X = np.array([0.5, 1.6875])
+MG2_EQ_U = MGCM_EQ_U  # 1.1547 = throttle opening at the operating point
+
+
+def mg2_ode(x: jax.Array, u: jax.Array) -> jax.Array:
+    """Continuous-time 2-state Moore-Greitzer dynamics f(x, u).
+
+    x[...,0] mass flow, x[...,1] pressure rise; scalar input u = throttle
+    opening (the 4-state model's x3, ref: models/trueModel.m:36-38).
+    """
+    x1, x2 = x[..., 0], x[..., 1]
+    u = jnp.asarray(u)
+    if u.ndim == x.ndim:
+        u = u[..., 0]
+    f1 = -x2 + X2_C + 1.0 + 3.0 * (x1 / 2.0) - (x1**3) / 2.0
+    f2 = (x1 + 1.0 - u * jnp.sqrt(x2)) / BETA2
+    return jnp.stack([f1, f2], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def mg2_dlti(ts: float = TS) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact DLTI discretization of the 2-state model at its equilibrium.
+
+    Same derivation recipe as mgcm_dlti (analytic Jacobian + expm, ref:
+    functions/mgcmDLTI.m:24-39) applied to the reduced dynamics.
+    """
+    import scipy.linalg
+
+    x1, x2 = MG2_EQ_X
+    A = np.array(
+        [
+            [1.5 - 1.5 * x1**2, -1.0],
+            [1.0, -MG2_EQ_U / (2.0 * np.sqrt(x2))],
+        ]
+    )
+    B = np.array([[0.0], [-np.sqrt(x2)]])
+    Ad = scipy.linalg.expm(A * ts)
+    Bd = np.linalg.solve(A, (Ad - np.eye(2)) @ B)
+    C = np.eye(2)
+    D = np.zeros((2, 1))
+    return Ad, Bd, C, D

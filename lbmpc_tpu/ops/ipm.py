@@ -43,6 +43,8 @@ class IPMSolution(NamedTuple):
     dual_res: jax.Array   # final ||Hx + g + G'z||_inf
     converged: jax.Array  # bool
     iters: jax.Array      # iteration at which the freeze mask first hit
+    infeasible: jax.Array # bool: Farkas certificate of primal infeasibility
+    farkas_gap: jax.Array # -h'y for the normalized candidate ray y (>0 => cert)
 
 
 def _step_length(v: jax.Array, dv: jax.Array, tau: float) -> jax.Array:
@@ -207,12 +209,35 @@ def _solve_qp_impl(H, g, G, h, iters, tol, tau, init):
         mu < conv_tol * (1.0 + jnp.abs(jnp.dot(s, z))),
         jnp.max(jnp.abs(rp)) < conv_tol * h_scale,
     )
+    # Farkas certificate of primal infeasibility: y >= 0, G'y = 0, h'y < 0
+    # proves {x : Gx <= h} empty. On infeasible problems the IPM's duals blow
+    # up along such a ray but with wildly uneven magnitudes, so purify first:
+    # project the normalized duals onto null(G') — where every certificate
+    # lives — clip to >= 0, and verify the Farkas conditions on the result.
+    # (The reference has no analog — IPOPT statuses are ignored outright,
+    # DMS_LBMPC_casadi.m:174-180; here failed lanes carry a typed reason.)
+    cert_tol = 1e-6 if dtype == jnp.float64 else 1e-3
+    y = z / jnp.maximum(jnp.max(jnp.abs(z)), tiny)
+    GtG = G.T @ G + (1e-12 * (1.0 + jnp.max(jnp.abs(G)) ** 2)) * In
+    y = jnp.maximum(y - G @ jnp.linalg.solve(GtG, G.T @ y), 0.0)
+    ynorm = jnp.max(jnp.abs(y))
+    y = y / jnp.maximum(ynorm, tiny)
+    farkas_gap = -jnp.dot(h, y)
+    infeasible = jnp.logical_and(
+        jnp.logical_and(~converged, ynorm > 0.1),
+        jnp.logical_and(
+            farkas_gap > cert_tol * h_scale,
+            jnp.max(jnp.abs(G.T @ y)) < cert_tol * (1.0 + jnp.max(jnp.abs(G))),
+        ),
+    )
     return IPMSolution(
         x=x, z=z, s=s, mu=mu,
         primal_res=jnp.max(jnp.abs(rp)),
         dual_res=jnp.max(jnp.abs(rd)),
         converged=converged,
         iters=first_it,
+        infeasible=infeasible,
+        farkas_gap=farkas_gap,
     )
 
 

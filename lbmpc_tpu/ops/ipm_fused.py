@@ -33,6 +33,8 @@ class FusedBatchSolution(NamedTuple):
     x: jax.Array          # (B, nz)
     converged: jax.Array  # (B,)
     mu: jax.Array         # (B,)
+    infeasible: jax.Array # (B,) Farkas certificate of primal infeasibility
+    farkas_gap: jax.Array # (B,) -h'y for the normalized dual ray y
 
 
 def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
@@ -48,6 +50,13 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
         (np.asarray(G, np.float32)[:, :, None] * np.asarray(G, np.float32)[:, None, :])
         .reshape(mI, nz * nz)
     )
+    # Farkas purification operator: y -> y - y G (G'G)^-1 G' projects onto
+    # null(G') (where every infeasibility certificate lives); precomputed in
+    # f64 host-side
+    G64 = np.asarray(G, np.float64)
+    GtG64 = G64.T @ G64 + 1e-12 * (1.0 + np.abs(G64).max() ** 2) * np.eye(nz)
+    GtGinv_Gt = jnp.asarray(np.linalg.solve(GtG64, G64.T), jnp.float32)
+    G_max = float(1.0 + np.abs(G64).max())
 
     @jax.jit
     def solve(g: jax.Array, h: jax.Array) -> FusedBatchSolution:
@@ -62,11 +71,29 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
                           g.astype(jnp.float32), h.astype(jnp.float32))
 
     def _solve(Hflat_b, g, h):
+        # the Pallas kernels run a grid of B // tile programs: pad the batch
+        # to a tile multiple with benign unconstrained problems (else B < tile
+        # silently computes nothing and returns garbage)
+        B0 = g.shape[0]
+        pad = (-B0) % tile
+        if pad:
+            g = jnp.concatenate([g, jnp.zeros((pad, nz), jnp.float32)])
+            h = jnp.concatenate([h, jnp.ones((pad, mI), jnp.float32)])
+            if Hflat_b.shape[0] != 1:
+                eye_pad = jnp.broadcast_to(
+                    jnp.eye(nz, dtype=jnp.float32).reshape(1, -1), (pad, nz * nz))
+                Hflat_b = jnp.concatenate([Hflat_b, eye_pad])
+            out = _solve_padded(Hflat_b, g, h)
+            return FusedBatchSolution(*(a[:B0] for a in out))
+        return _solve_padded(Hflat_b, g, h)
+
+    def _solve_padded(Hflat_b, g, h):
         B = g.shape[0]
         x = jnp.zeros((B, nz), jnp.float32)
         s = jnp.maximum(h, 1.0)
         z = jnp.ones((B, mI), jnp.float32)
         eye_flat = jnp.eye(nz, dtype=jnp.float32).reshape(-1)
+        h_scale = 1.0 + jnp.max(jnp.abs(h), axis=1)
 
         Hb = Hflat_b.reshape(-1, nz, nz)  # (1 or B, nz, nz)
         shared_H = Hb.shape[0] == 1
@@ -76,8 +103,31 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
                 return x @ Hb[0].T
             return jnp.einsum("bij,bj->bi", Hb, x)
 
+        def farkas_test(z):
+            """Purified Farkas ray from the current duals (see ops/ipm.py):
+            project z/|z| onto null(G'), clip >= 0, verify G'y ~ 0, h'y < 0.
+            Checked in-loop because infeasible-lane f32 duals overflow to NaN
+            before the final iteration — latch the certificate while finite."""
+            zmax = jnp.max(z, axis=1, keepdims=True)
+            y = z / jnp.maximum(zmax, 1e-25)
+            y = jnp.maximum(y - (y @ G32) @ GtGinv_Gt, 0.0)
+            ynorm = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+            y = y / jnp.maximum(ynorm, 1e-25)
+            gap = -jnp.sum(h * y, axis=1)
+            cert = jnp.logical_and(
+                jnp.logical_and(zmax[:, 0] > 1e4, ynorm[:, 0] > 0.1),
+                jnp.logical_and(
+                    gap > 1e-3 * h_scale,
+                    jnp.max(jnp.abs(y @ G32), axis=1) < 1e-3 * G_max,
+                ),
+            )
+            return cert, gap
+
         def body(it, state):
-            x, s, z = state
+            x, s, z, infeas, gap_lat = state
+            cert, gap = farkas_test(z)
+            infeas = jnp.logical_or(infeas, cert)
+            gap_lat = jnp.where(cert, jnp.maximum(gap_lat, gap), gap_lat)
             rd = Hx(x) + g + z @ G32
             rp = x @ G32.T + s - h
             s_safe = jnp.maximum(s, 1e-25)
@@ -116,17 +166,23 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
             ds, dz = expand(dx, rc)
             ap = steplen(s, ds, 0.995)[:, None]
             ad = steplen(z, dz, 0.995)[:, None]
-            return x + ap * dx, s + ap * ds, z + ad * dz
+            return x + ap * dx, s + ap * ds, z + ad * dz, infeas, gap_lat
 
-        x, s, z = jax.lax.fori_loop(0, iters, body, (x, s, z))
+        infeas0 = jnp.zeros((B,), bool)
+        x, s, z, infeasible, farkas_gap = jax.lax.fori_loop(
+            0, iters, body, (x, s, z, infeas0, jnp.zeros((B,), jnp.float32)))
+        cert_f, gap_f = farkas_test(jnp.nan_to_num(z, nan=0.0, posinf=1e30))
+        farkas_gap = jnp.where(cert_f & ~infeasible, gap_f, farkas_gap)
+        infeasible = jnp.logical_or(infeasible, cert_f)
         mu = jnp.sum(s * z, axis=1) / mI
         rp = x @ G32.T + s - h
-        h_scale = 1.0 + jnp.max(jnp.abs(h), axis=1)
         conv = jnp.logical_and(
             mu < 2e-4 * (1.0 + mu * mI),
             jnp.max(jnp.abs(rp), axis=1) < 2e-3 * h_scale,
         )
-        return FusedBatchSolution(x=x, converged=conv, mu=mu)
+        infeasible = jnp.logical_and(infeasible, ~conv)
+        return FusedBatchSolution(x=x, converged=conv, mu=mu,
+                                  infeasible=infeasible, farkas_gap=farkas_gap)
 
     solve.solve_with_H = solve_with_H
     return solve

@@ -23,7 +23,7 @@ from lbmpc_tpu.controllers.lbmpc import (
 )
 from lbmpc_tpu.controllers.lmpc import make_lmpc_solver
 from lbmpc_tpu.controllers.nmpc import make_nmpc_solver
-from lbmpc_tpu.models.mgcm import mgcm_dlti, rk23_step, rk4_step
+from lbmpc_tpu.models.mgcm import mg2_dlti, mg2_ode, mgcm_dlti, rk23_step, rk4_step
 from lbmpc_tpu.oracle import DataWindow, init_window
 from lbmpc_tpu.runtime.closed_loop import ClosedLoopResult, run_closed_loop
 from lbmpc_tpu.sets.terminal import ConstraintSet, get_cons, get_cons_poly
@@ -61,7 +61,9 @@ class Scenario:
 def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     cfg = name_or_cfg if isinstance(name_or_cfg, ScenarioConfig) else make_preset(name_or_cfg)
     p = cfg.plant
-    A, B, C, _ = mgcm_dlti(p.ts)
+    mg2 = getattr(p, "model", "mgcm4") == "mg2"
+    plant_ode = mg2_ode if mg2 else None  # None -> integrators default to mgcm_ode
+    A, B, C, _ = (mg2_dlti if mg2 else mgcm_dlti)(p.ts)
     ocp = mat_ocp(A, B, C, poles=cfg.ocp.poles, T=cfg.ocp.T)
     common = dict(
         x_min=p.x_min, x_max=p.x_max, u_min=p.u_min, u_max=p.u_max,
@@ -91,7 +93,7 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
             terminal_at=cfg.ocp.terminal_at,
             tighten_first_step=cfg.ocp.tighten_first_step,
         )
-        plant = lambda x, u: rk23_step(x, u[0], p.ts)
+        plant = lambda x, u: rk23_step(x, u[0], p.ts, ode=plant_ode)
         warm = lambda z, dx_used, dx_next, window: z  # fmincon reuses opt_var
     else:
         qp = build_casadi_dms(
@@ -100,7 +102,7 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
             terminal_at=cfg.ocp.terminal_at,
             tighten_first_step=cfg.ocp.tighten_first_step,
         )
-        plant = lambda x, u: rk4_step(x, u[0], p.ts, substeps=1)
+        plant = lambda x, u: rk4_step(x, u[0], p.ts, substeps=1, ode=plant_ode)
         warm = make_casadi_warm_start(qp, A, B, ocp.Ks)
 
     if cfg.controller == "lmpc":
@@ -144,7 +146,8 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
         )
 
     def episode(dx_init):
-        return episode_with_window(dx_init, init_window(cfg.oracle.q))
+        return episode_with_window(
+            dx_init, init_window(cfg.oracle.q, d_out=cfg.oracle.d_out))
 
     return Scenario(
         cfg=cfg, A=A, B=B, ocp=ocp, cs=cs, nz=qp.nz,

@@ -106,3 +106,42 @@ def test_active_constraints_multipliers():
     s = np.asarray(sol.s)
     assert (z > -1e-9).all()
     assert np.abs(z * s).max() < 1e-6
+
+
+def test_infeasibility_certificate():
+    """Infeasible QP {x <= -1, x >= 1}: the IPM's blown-up duals form a Farkas
+    ray (y >= 0, G'y = 0, h'y < 0) and the flag fires; a feasible twin with
+    the same geometry stays clean."""
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.ops.ipm import solve_qp
+
+    H = jnp.eye(1)
+    g = jnp.zeros(1)
+    G = jnp.array([[1.0], [-1.0]])
+    sol_bad = solve_qp(H, g, G, jnp.array([-1.0, -1.0]), iters=30)
+    assert bool(sol_bad.infeasible) and not bool(sol_bad.converged)
+    assert float(sol_bad.farkas_gap) > 0
+    sol_ok = solve_qp(H, g, G, jnp.array([1.0, 1.0]), iters=30)
+    assert bool(sol_ok.converged) and not bool(sol_ok.infeasible)
+
+
+def test_infeasibility_certificate_batched_isolation():
+    """One infeasible lane in a vmapped batch flags only itself."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.ops.ipm import solve_qp
+
+    H = jnp.broadcast_to(jnp.eye(2), (4, 2, 2))
+    g = jnp.zeros((4, 2))
+    G = jnp.broadcast_to(jnp.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]), (4, 4, 2))
+    h = jnp.stack([
+        jnp.array([1.0, 1.0, 1.0, 1.0]),
+        jnp.array([-1.0, -1.0, 1.0, 1.0]),   # infeasible in x1
+        jnp.array([2.0, 0.5, 1.0, 1.0]),
+        jnp.array([1.0, 1.0, -2.0, -1.0]),   # infeasible in x2
+    ])
+    sol = jax.vmap(lambda a, b, c, d: solve_qp(a, b, c, d, iters=30))(H, g, G, h)
+    assert np.asarray(sol.infeasible).tolist() == [False, True, False, True]
+    assert np.asarray(sol.converged).tolist() == [True, False, True, False]

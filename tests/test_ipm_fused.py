@@ -56,3 +56,23 @@ def test_fused_batch_ipm_matches_reference():
                                   jnp.asarray(qp.G), jnp.asarray(h[i]), iters=30).x)
         # f32-class accuracy on the control-relevant head
         assert abs(float(np.asarray(out.x)[i, 0]) - ref[0]) < 5e-3
+
+
+def test_fused_infeasibility_certificate():
+    """Fused batch IPM flags the infeasible lane via the Farkas test."""
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.ops.ipm_fused import build_fused_qp_solver
+
+    G = np.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+    H = np.eye(2)
+    solver = build_fused_qp_solver(H, G, iters=30, tile=128, interpret=True)
+    g = jnp.zeros((3, 2))
+    h = jnp.asarray(np.array([
+        [1.0, 1.0, 1.0, 1.0],
+        [-1.0, -1.0, 1.0, 1.0],   # infeasible lane
+        [2.0, 0.5, 1.0, 1.0],
+    ]))
+    sol = solver(g, h)
+    assert np.asarray(sol.infeasible).tolist() == [False, True, False]
+    assert np.asarray(sol.converged).tolist() == [True, False, True]

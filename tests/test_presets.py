@@ -41,3 +41,45 @@ def test_preset_short_episode(name):
     sysH = np.asarray(res.sys_history)
     assert sysH.shape[0] == 4
     assert np.isfinite(sysH).all()
+
+
+def test_mg2_presets_converge():
+    """BASELINE config 1: 2-state Moore-Greitzer tracking MPC at N=20.
+
+    Both MG2 presets must drive the compressor from the far corner of the box
+    to the operating point (no golden data exists — the 2-state plant is this
+    framework's design; the test asserts convergence + constraint respect).
+    """
+    import numpy as np
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.runtime.scenario import build_scenario
+
+    for name in ("MG2_LMPC_N20", "MG2_LBMPC_N20"):
+        sc = build_scenario(make_preset(name))
+        res = sc.run()
+        h = np.asarray(res.sys_history)
+        assert np.isfinite(h).all()
+        assert float(np.mean(np.asarray(res.solver_converged))) > 0.99
+        # settles near the operating point
+        assert np.linalg.norm(h[-1, :2]) < 0.02, name
+        # state box respected by the true plant trajectory (plus the model
+        # mismatch the tightening budget allows for)
+        assert np.abs(h[:, 0]).max() <= 0.5 + 0.02 + 1e-6
+        assert np.abs(h[:, 1]).max() <= 0.5 + 0.02 + 1e-6
+
+
+def test_mg2_dlti_matches_nonlinear_step():
+    """MG2 exact discretization vs one RK4 step of the nonlinear plant."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.models.mgcm import MG2_EQ_U, MG2_EQ_X, mg2_dlti, mg2_ode, rk4_step
+
+    Ad, Bd, _, _ = mg2_dlti()
+    dx = np.array([0.01, -0.02])
+    du = 0.005
+    x1 = rk4_step(jnp.asarray(MG2_EQ_X + dx), jnp.asarray(MG2_EQ_U + du), 0.01,
+                  substeps=4, ode=mg2_ode)
+    lin = Ad @ dx + (Bd * du).ravel()
+    assert np.abs((np.asarray(x1) - MG2_EQ_X) - lin).max() < 5e-6
