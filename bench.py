@@ -45,6 +45,24 @@ def main():
     )
     sc = build_scenario(cfg)
 
+    from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+    from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
+    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
+
+    qp = build_fmincon_lmpc(
+        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N,
+        dx_ref=np.asarray(cfg.dx_ref), terminal_at=cfg.ocp.terminal_at,
+        tighten_first_step=cfg.ocp.tighten_first_step,
+    )
+    w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+                          sc.ocp.LAMBDA, sc.ocp.PSI)
+    fused_solve = make_lbmpc_solver_fused(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=3, ipm_iters=20,
+    )
+
     rng = np.random.default_rng(0)
     dt = jnp.float32
 
@@ -64,18 +82,16 @@ def main():
         z0 = jnp.zeros((R, batch, sc.nz), dt)
         return dx, windows, z0
 
-    solve_b = jax.vmap(sc.solve)
-
     # Production shape: the closed loop runs hundreds of sequential batched
     # solves inside one jitted scan, so the dispatch overhead of the remote
     # runtime (~25 ms/call) is amortized. Measure R solves per call the same
     # way and report per-solve throughput.
-    def make_scan(R):
+    def make_scan(solve_b, R):
         @jax.jit
         def run(dx, windows, z0):
             def body(acc, inp):
-                d, w, z = inp
-                zs, conv = solve_b(d, w, z)
+                d, w_, z = inp
+                zs, conv = solve_b(d, w_, z)
                 return acc + jnp.sum(zs[:, 0]), conv
 
             acc, convs = jax.lax.scan(body, jnp.float32(0.0), (dx, windows, z0))
@@ -88,10 +104,14 @@ def main():
         # force completion via a host transfer of a scalar
         return float(np.asarray(out[0]).ravel()[0])
 
+    backends = {
+        "vmapped_sqp": jax.vmap(sc.solve),
+        "fused_sqp": fused_solve,
+    }
     best = None
-    for batch, R in ((8192, 1), (8192, 8)):
+    for name, batch, R in (("vmapped_sqp", 8192, 8), ("fused_sqp", 2048, 32)):
         dx, windows, z0 = batch_inputs(batch, R)
-        run = make_scan(R)
+        run = make_scan(backends[name], R)
         force(run(dx, windows, z0))
         reps = 5
         times = []
@@ -104,8 +124,11 @@ def main():
         step = float(np.median(times)) / R
         sps = batch / step
         conv = float(np.mean(np.asarray(out[1])))
-        cand = dict(batch=batch, R=R, step_ms=step * 1e3, solves_per_s=sps, conv=conv)
-        if best is None or sps > best["solves_per_s"]:
+        cand = dict(name=name, batch=batch, R=R, step_ms=step * 1e3,
+                    solves_per_s=sps, conv=conv)
+        print(json.dumps({"candidate": cand}), file=__import__("sys").stderr, flush=True)
+        # require a usable fleet: >=99% converged lanes to take the headline
+        if conv >= 0.99 and (best is None or sps > best["solves_per_s"]):
             best = cand
 
     ref_solve_s = 0.115  # reference tracking-LMPC mean solve time (BASELINE.md)
@@ -116,6 +139,7 @@ def main():
                 "value": round(best["solves_per_s"], 1),
                 "unit": "solves/s",
                 "vs_baseline": round(best["solves_per_s"] * ref_solve_s, 1),
+                "backend_impl": best["name"],
                 "batch": best["batch"],
                 "solves_per_call": best["R"] * best["batch"],
                 "batched_step_ms": round(best["step_ms"], 2),

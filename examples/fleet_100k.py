@@ -1,0 +1,110 @@
+"""BASELINE.json config 5: 100k+ concurrent receding-horizon LBMPC instances.
+
+Runs a fleet of >=100k independent closed-loop LBMPC instances: resident
+cohorts of `--chunk` scenarios are swept through the device mesh by one jitted
+scan (runtime/sharding.fleet_runner), convergence statistics reduce across the
+mesh via psum (global_solve_stats). On a multi-host pod, call with
+--multihost so jax.distributed joins the global mesh: each host keeps its
+scenario shard local; only the stats reduction crosses DCN.
+
+The reference has no analog of any of this (SURVEY.md §2.3: a single-threaded
+MATLAB loop); the per-instance semantics are its ocpLBMPC.m closed loop.
+
+Usage (one v5e chip, ~2 min):   python examples/fleet_100k.py
+      (CPU smoke run):          python examples/fleet_100k.py --cpu \
+                                    --instances 512 --chunk 64 --steps 3
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--instances", type=int, default=131072)
+    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--N", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--multihost", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="batch-level episodes on the fused QP backend "
+                         "(run_closed_loop_batched; fastest per solve)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import jax as _jax  # noqa: F401 (tree ops in fused path)
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.runtime.scenario import build_scenario
+    from lbmpc_tpu.runtime.sharding import (
+        fleet_runner,
+        global_solve_stats,
+        initialize_multihost,
+        scenario_mesh,
+    )
+
+    if args.multihost:
+        initialize_multihost()
+
+    cfg = make_preset("LBMPC_N40", iterations=args.steps)
+    cfg = dataclasses.replace(
+        cfg,
+        ocp=dataclasses.replace(cfg.ocp, N=args.N),
+        solver=dataclasses.replace(cfg.solver, dtype="float32", sqp_iters=2),
+        oracle=dataclasses.replace(cfg.oracle, q=32),
+    )
+    sc = build_scenario(cfg)
+
+    rng = np.random.default_rng(0)
+    dx0 = jnp.asarray(
+        np.array([-0.35, -0.4, 0.0, 0.0])
+        + rng.uniform(-0.02, 0.02, (args.instances, 4)),
+        jnp.float64,
+    )
+
+    mesh = scenario_mesh()
+    if args.fused:
+        from lbmpc_tpu.runtime.scenario import build_fleet_episode
+
+        _, run_cohort = build_fleet_episode(cfg)
+
+        def run(dx_all):
+            cohorts = dx_all.reshape(-1, args.chunk, dx_all.shape[-1])
+            outs = [run_cohort(c) for c in cohorts]
+            return jax.tree.map(lambda *a: jnp.concatenate(a), *outs)
+    else:
+        run = fleet_runner(sc.episode, mesh, chunk=args.chunk)
+
+    t0 = time.perf_counter()
+    res = run(dx0)
+    final = np.asarray(res.sys_history[:, -1, 0])  # forces completion (axon)
+    wall = time.perf_counter() - t0
+
+    n_conv, n_tot = global_solve_stats(mesh, res.solver_converged.all(axis=-1))
+    solves = args.instances * args.steps
+    print(
+        f"fleet: {args.instances} concurrent LBMPC instances x {args.steps} "
+        f"receding-horizon steps on {len(mesh.devices.ravel())} device(s) "
+        f"[{jax.process_count()} host(s)]"
+    )
+    print(
+        f"wall {wall:.1f}s -> {solves / wall:.0f} MPC solves/s; "
+        f"converged instances: {n_conv}/{n_tot}; "
+        f"final |dx1| p99: {float(np.percentile(np.abs(final), 99)):.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

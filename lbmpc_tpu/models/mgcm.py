@@ -24,7 +24,7 @@ import numpy as np
 
 # Physical constants (ref: models/trueModel.m:32-35)
 WN2 = 1000.0          # wn^2, wn = sqrt(1000) resonant frequency
-TWO_ZETA_WN = 2.0 * (1.0 / np.sqrt(2.0)) * np.sqrt(1000.0)  # 2*zeta*wn = sqrt(2000)
+TWO_ZETA_WN = float(2.0 * (1.0 / np.sqrt(2.0)) * np.sqrt(1000.0))  # 2*zeta*wn = sqrt(2000); python float so f32 batches don't promote
 BETA2 = 1.0           # beta^2
 X2_C = 0.0            # pressure constant
 
@@ -134,8 +134,10 @@ def rk23_step(
         k1 = f
         k2 = fode(y + he * _BS_A2 * k1, u)
         k3 = fode(y + he * _BS_A3 * k2, u)
+        # python-float weights: keep the carry dtype (f32 batches must not
+        # promote to f64 under jax_enable_x64)
         ynew = y + he * (
-            _BS_B[0] * k1 + _BS_B[1] * k2 + _BS_B[2] * k3
+            float(_BS_B[0]) * k1 + float(_BS_B[1]) * k2 + float(_BS_B[2]) * k3
         )
         k4 = fode(ynew, u)
         k_stack = jnp.stack([k1, k2, k3, k4], axis=-2)

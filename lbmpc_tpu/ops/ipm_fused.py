@@ -185,4 +185,10 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
                                   infeasible=infeasible, farkas_gap=farkas_gap)
 
     solve.solve_with_H = solve_with_H
+    # Raw (unjitted, context-free) variant for callers that embed the solver
+    # inside their own jitted scan: nested jit + enable_x64 contexts inside a
+    # scan body trip XLA's lowering cache. Caller must pass f32 and set
+    # default_matmul_precision("highest") at its outer jit.
+    solve.raw_with_H = lambda H_b, g, h: _solve(
+        H_b.reshape(H_b.shape[0], -1), g, h)
     return solve

@@ -82,3 +82,72 @@ def run_closed_loop(
     first = jnp.concatenate([dx_init, jnp.zeros((m,), sysH.dtype)])[None, :]
     sysH = jnp.concatenate([first, sysH], axis=0)
     return ClosedLoopResult(sysH, artH, conv, wf)
+
+
+def run_closed_loop_batched(
+    solve_batch: Callable,    # (dx (B,n), windows, z_ws (B,nz)) -> (z (B,nz), conv (B,))
+    plant_step: Callable,     # (x_abs, u_abs) -> x_abs' (single scenario; vmapped here)
+    warm_start_fn: Callable,  # single-scenario warm start; vmapped here
+    Ks: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    Mtheta_x: jax.Array,
+    x_wp: jax.Array,
+    u_wp: jax.Array,
+    dx_init: jax.Array,       # (B, n)
+    z0: jax.Array,            # (B, nz)
+    window0: DataWindow,      # batched (leading axis B)
+    iterations: int,
+    learn: bool = True,
+    log_post_state: bool = True,
+) -> ClosedLoopResult:
+    """Batch-level twin of run_closed_loop: the whole cohort advances through
+    one scan with a BATCH-LEVEL solver (e.g. controllers/sqp_fused.py, whose
+    QP subproblems run as one fused kernel per iteration instead of one
+    dispatched micro-op per scenario). Same step semantics as run_closed_loop
+    (ref: functions/ocpLBMPC.m:10-46); histories gain a leading batch axis.
+    """
+    n = x_wp.shape[-1]
+    m = u_wp.shape[-1] if u_wp.ndim else 1
+    u_wp = jnp.atleast_1d(u_wp)
+    nth = Mtheta_x.shape[1]
+
+    plant_b = jax.vmap(plant_step)
+    obs_b = jax.vmap(lambda dx, du, dx1: observe_residual(dx, du, dx1, A, B))
+    push_b = jax.vmap(push)
+    warm_b = jax.vmap(warm_start_fn)
+
+    x0_abs = x_wp[None, :] + dx_init
+
+    def step(carry, _):
+        x, window, z_ws = carry
+        dx = x - x_wp[None, :]
+        z, converged = solve_batch(dx, window, z_ws)
+        c0 = z[:, :m]
+        du = dx @ Ks.T + c0
+        u = du + u_wp[None, :]
+        x1 = plant_b(x, u)
+        dx1 = x1 - x_wp[None, :]
+        if learn:
+            xi_new, y_new = obs_b(dx, du, dx1)
+            window1 = push_b(window, xi_new, y_new)
+        else:
+            window1 = window
+        z_next = warm_b(z, dx, dx1, window1)
+        art = z[:, -nth:] @ Mtheta_x.T
+        logged_dx = dx1 if log_post_state else dx
+        return (x1, window1, z_next), (
+            jnp.concatenate([logged_dx, du], axis=1), art[:, :m], converged)
+
+    (xf, wf, _), (sysH, artH, conv) = jax.lax.scan(
+        step, (x0_abs, window0, z0), None, length=iterations
+    )
+    first = jnp.concatenate(
+        [dx_init, jnp.zeros((dx_init.shape[0], m), sysH.dtype)], axis=1)[None]
+    sysH = jnp.concatenate([first, sysH], axis=0)
+    # scan stacks time first: (T, B, ...) -> (B, T, ...) to match
+    # vmap(run_closed_loop)'s layout
+    sysH = jnp.swapaxes(sysH, 0, 1)
+    artH = jnp.swapaxes(artH, 0, 1)
+    conv = jnp.swapaxes(conv, 0, 1)
+    return ClosedLoopResult(sysH, artH, conv, wf)

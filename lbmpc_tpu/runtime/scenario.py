@@ -153,3 +153,64 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
         cfg=cfg, A=A, B=B, ocp=ocp, cs=cs, nz=qp.nz,
         episode=episode, episode_with_window=episode_with_window, solve=solve,
     )
+
+
+def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
+                        sqp_iters: int | None = None,
+                        interpret: bool | None = None):
+    """Batch-level LBMPC episode on the fused QP backend (f32 throughput path).
+
+    Returns (scenario, run(dx_init (B, n)) -> batched ClosedLoopResult). The
+    whole cohort advances through one jitted scan whose QP subproblems are the
+    batch-level fused Mehrotra solver (ops/ipm_fused + Pallas factor/solve) —
+    the fastest per-solve path on TPU (bench.py backend_impl="fused_sqp").
+    fmincon-family LBMPC only.
+    """
+    cfg = name_or_cfg if isinstance(name_or_cfg, ScenarioConfig) else make_preset(name_or_cfg)
+    if cfg.controller != "lbmpc" or cfg.family != "fmincon":
+        raise ValueError("fused fleet episodes support fmincon-family LBMPC only")
+    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
+    from lbmpc_tpu.models.mgcm import mg2_ode, rk23_step
+    from lbmpc_tpu.runtime.closed_loop import run_closed_loop_batched
+
+    sc = build_scenario(cfg, ipm_iters=ipm_iters)
+    p = cfg.plant
+    mg2 = getattr(p, "model", "mgcm4") == "mg2"
+    plant_ode = mg2_ode if mg2 else None
+    qp = (build_fmincon_lmpc(
+        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, cfg.ocp.N,
+        dx_ref=np.asarray(cfg.dx_ref), terminal_at=cfg.ocp.terminal_at,
+        tighten_first_step=cfg.ocp.tighten_first_step,
+    ))
+    w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+                          sc.ocp.LAMBDA, sc.ocp.PSI)
+    solve_batch = make_lbmpc_solver_fused(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=p.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref),
+        sqp_iters=sqp_iters or cfg.solver.sqp_iters,
+        ipm_iters=ipm_iters or cfg.solver.ipm_iters,
+        # Pallas kernels need interpret mode off-TPU
+        interpret=(jax.default_backend() != "tpu") if interpret is None else interpret,
+    )
+    f32 = jnp.float32
+    plant = lambda x, u: rk23_step(x, u[0], p.ts, ode=plant_ode)
+
+    @jax.jit
+    def run(dx_init):
+        B0 = dx_init.shape[0]
+        win0 = init_window(cfg.oracle.q, d_out=cfg.oracle.d_out, dtype=f32)
+        windows0 = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B0,) + a.shape), win0)
+        with jax.default_matmul_precision("highest"):
+            return run_closed_loop_batched(
+                solve_batch.raw, plant, lambda z, dxu, dxn, w_: z,
+                jnp.asarray(np.atleast_2d(sc.ocp.Ks), f32), jnp.asarray(sc.A, f32),
+                jnp.asarray(sc.B, f32), jnp.asarray(sc.ocp.LAMBDA, f32),
+                jnp.asarray(p.x_wp, f32), jnp.asarray([p.u_wp], f32),
+                dx_init.astype(f32), jnp.zeros((B0, qp.nz), f32), windows0,
+                cfg.iterations, learn=cfg.learn_online, log_post_state=False,
+            )
+
+    return sc, run

@@ -85,6 +85,40 @@ def sharded_episode_runner(episode_fn: Callable, mesh: Mesh, axis: str = "scenar
     return run
 
 
+def fleet_runner(episode_fn: Callable, mesh: Mesh, chunk: int,
+                 axis: str = "scenario"):
+    """Driver for very large fleets (BASELINE config 5: 100k+ concurrent
+    receding-horizon instances): cohorts of `chunk` scenarios stay resident
+    on the mesh while a jitted lax.scan sweeps the fleet through them, so
+    arbitrary fleet sizes run at the device's peak batch without re-dispatch.
+
+    episode_fn: (dx_init,) -> ClosedLoopResult (single scenario).
+    Returns run(dx_all (F, n)) -> ClosedLoopResult with leading axis F;
+    F must be a multiple of `chunk` (pad with copies if needed). The chunk
+    axis is sharded over the mesh; on a multi-host mesh each host keeps its
+    shard local and only the stats reductions cross DCN.
+    """
+    batched = jax.vmap(episode_fn)
+    shard = NamedSharding(mesh, P(None, axis))
+
+    @functools.partial(jax.jit, in_shardings=(shard,))
+    def run(dx_chunks):
+        def body(_, dx):
+            return None, batched(dx)
+
+        _, results = jax.lax.scan(body, None, dx_chunks)
+        return results
+
+    def run_fleet(dx_all):
+        F, n = dx_all.shape
+        if F % chunk:
+            raise ValueError(f"fleet size {F} not a multiple of chunk {chunk}")
+        res = run(dx_all.reshape(F // chunk, chunk, n))
+        return jax.tree.map(lambda a: a.reshape((F,) + a.shape[2:]), res)
+
+    return run_fleet
+
+
 def global_solve_stats(mesh: Mesh, converged: jax.Array, axis: str = "scenario"):
     """Cross-chip reduction of per-scenario convergence flags via psum.
 

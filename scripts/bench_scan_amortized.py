@@ -55,7 +55,27 @@ def main():
         )
         return dx, windows, jnp.zeros((R, batch, sc.nz), dt)
 
+    from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+    from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
+    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
+
+    qp = build_fmincon_lmpc(
+        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N,
+        dx_ref=np.asarray(cfg.dx_ref), terminal_at=cfg.ocp.terminal_at,
+        tighten_first_step=cfg.ocp.tighten_first_step,
+    )
+    w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+                          sc.ocp.LAMBDA, sc.ocp.PSI)
+    fused_solve = make_lbmpc_solver_fused(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=3, ipm_iters=20,
+    )
     solve_b = jax.vmap(sc.solve)
+    import os
+    if os.environ.get("USE_FUSED"):
+        solve_b = fused_solve
 
     def make_scan(R):
         @jax.jit
@@ -73,7 +93,11 @@ def main():
     def force(out):
         return float(np.asarray(out[0]).ravel()[0])
 
-    for batch, R in ((8192, 1), (8192, 4), (8192, 8), (4096, 8), (16384, 4)):
+    import os
+    specs = ((8192, 1), (8192, 4), (8192, 8), (4096, 8), (16384, 4))
+    if os.environ.get("SPECS"):
+        specs = tuple(tuple(int(v) for v in p.split(",")) for p in os.environ["SPECS"].split(";"))
+    for batch, R in specs:
         dx, windows, z0 = batch_inputs(batch, R)
         run = make_scan(R)
         t0 = time.perf_counter()

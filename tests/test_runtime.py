@@ -127,3 +127,87 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["preset"] == "LBMPC_N40"
     np.testing.assert_array_equal(st.x_abs, st2.x_abs)
     np.testing.assert_array_equal(st.window_Y, st2.window_Y)
+
+
+def test_fleet_runner_chunked_matches_direct():
+    """fleet_runner (BASELINE config 5 driver): cohort-scanned fleet equals
+    the directly-vmapped episodes, stats reduce across the CPU mesh."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.runtime.scenario import build_scenario
+    from lbmpc_tpu.runtime.sharding import (
+        fleet_runner,
+        global_solve_stats,
+        scenario_mesh,
+    )
+
+    cfg = make_preset("LBMPC_N40", iterations=3)
+    cfg = dataclasses.replace(
+        cfg,
+        ocp=dataclasses.replace(cfg.ocp, N=8),
+        solver=dataclasses.replace(cfg.solver, dtype="float32", sqp_iters=1, ipm_iters=10),
+        oracle=dataclasses.replace(cfg.oracle, q=8),
+    )
+    sc = build_scenario(cfg)
+    rng = np.random.default_rng(0)
+    F = 64
+    dx0 = jnp.asarray(
+        np.array([-0.35, -0.4, 0.0, 0.0]) + rng.uniform(-0.02, 0.02, (F, 4)))
+
+    mesh = scenario_mesh()  # 8 virtual CPU devices (tests/conftest.py)
+    run = fleet_runner(sc.episode, mesh, chunk=16)
+    res = run(dx0)
+    assert res.sys_history.shape[0] == F
+
+    direct = jax.vmap(sc.episode)(dx0)
+    np.testing.assert_allclose(
+        np.asarray(res.sys_history), np.asarray(direct.sys_history),
+        rtol=0, atol=1e-6)
+
+    n_conv, n_tot = global_solve_stats(mesh, res.solver_converged.all(axis=-1))
+    assert n_tot == F and n_conv > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        run(dx0[:50])  # not a chunk multiple
+
+
+def test_batched_fused_episode_matches_f64_episodes():
+    """run_closed_loop_batched + fused SQP backend: whole-cohort episode scan
+    reproduces the per-scenario f64 episodes (tiny config, interpret kernels)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.runtime.scenario import build_fleet_episode, build_scenario
+
+    cfg = make_preset("LBMPC_N40", iterations=4)
+    cfg = dataclasses.replace(
+        cfg,
+        ocp=dataclasses.replace(cfg.ocp, N=8),
+        solver=dataclasses.replace(cfg.solver, dtype="float32", sqp_iters=2, ipm_iters=12),
+        oracle=dataclasses.replace(cfg.oracle, q=8),
+    )
+    sc, run = build_fleet_episode(cfg)
+    rng = np.random.default_rng(0)
+    dx0 = jnp.asarray(
+        np.array([-0.35, -0.4, 0.0, 0.0]) + rng.uniform(-0.02, 0.02, (8, 4)))
+    res = run(dx0)
+    assert np.asarray(res.sys_history).shape == (8, 5, 5)
+    assert float(np.asarray(res.solver_converged).mean()) == 1.0
+
+    ref_cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, dtype="float64",
+                                        sqp_iters=3, ipm_iters=25))
+    ref = jax.vmap(build_scenario(ref_cfg).episode)(dx0)
+    diff = np.abs(np.asarray(res.sys_history) - np.asarray(ref.sys_history)).max()
+    assert diff < 5e-4, diff
