@@ -97,7 +97,9 @@ def make_lbmpc_solver_fused(
 
     @jax.jit
     def solve_batch(dx0, windows, z_ws):
-        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        # no enable_x64(False): the fused QP's f64 refinement residual needs
+        # real f64 (everything else is explicitly f32)
+        with jax.default_matmul_precision("highest"):
             return _solve(dx0.astype(f32),
                           jax.tree.map(lambda a: a.astype(f32)
                                        if a.dtype != jnp.int32 else a, windows),

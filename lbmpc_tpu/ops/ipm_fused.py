@@ -38,10 +38,20 @@ class FusedBatchSolution(NamedTuple):
 
 
 def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
-                          tile: int = 512, interpret: bool = False):
+                          tile: int = 512, interpret: bool = False,
+                          refine: bool = False):
     """Returns solve(g (B, nz), h (B, mI)) -> FusedBatchSolution (H, G shared),
     plus a per-problem-Hessian variant solve.solve_with_H(H_b (B, nz, nz), g, h)
-    for SQP subproblems whose Gauss-Newton Hessians differ per scenario."""
+    for SQP subproblems whose Gauss-Newton Hessians differ per scenario.
+
+    refine: safeguarded iterative-refinement pass on the corrector KKT solve
+    (f64 residual, per-lane monotone acceptance). Measured net-neutral on
+    accuracy: the few-percent of lanes that stall do so because the EXACT
+    solution of the d-capped (1e7) Newton system is itself a poor direction
+    there — the factor roundoff was acting as accidental regularization — so
+    refinement helps some lanes and hurts others symmetrically while costing
+    ~15%. Default off; flagged lanes should be re-solved on the vmapped path
+    instead."""
     nz = G.shape[1]
     mI = G.shape[0]
     H32 = jnp.asarray(H, jnp.float32) if H is not None else None
@@ -58,15 +68,19 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
     GtGinv_Gt = jnp.asarray(np.linalg.solve(GtG64, G64.T), jnp.float32)
     G_max = float(1.0 + np.abs(G64).max())
 
+    # NOTE: no enable_x64(False) context here — every array in _solve is an
+    # explicit float32, and the iterative-refinement residual NEEDS real f64
+    # (an x64-off context would silently downgrade the astype and make IR
+    # diverge on the cond~1e13 late-stage KKT systems).
     @jax.jit
     def solve(g: jax.Array, h: jax.Array) -> FusedBatchSolution:
-        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision("highest"):
             return _solve(H32.reshape(-1)[None, :], g.astype(jnp.float32),
                           h.astype(jnp.float32))
 
     @jax.jit
     def solve_with_H(H_b: jax.Array, g: jax.Array, h: jax.Array) -> FusedBatchSolution:
-        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision("highest"):
             return _solve(H_b.reshape(H_b.shape[0], -1).astype(jnp.float32),
                           g.astype(jnp.float32), h.astype(jnp.float32))
 
@@ -162,7 +176,26 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
             mu_aff = jnp.sum((s + ap * ds_a) * (z + ad * dz_a), axis=1) / mI
             sigma = (mu_aff / jnp.maximum(mu, 1e-25)) ** 3
             rc = s * z + ds_a * dz_a - (sigma * mu)[:, None]
-            dx = chol_resolve(L_flat, rhs_of(rc), nz, tile=tile, interpret=interpret)
+            rhs_c = rhs_of(rc)
+            dx = chol_resolve(L_flat, rhs_c, nz, tile=tile, interpret=interpret)
+            if refine and jax.config.jax_enable_x64:
+                # Safeguarded iterative refinement on the corrector solve.
+                # Residual in f64 (f32 residuals are pure roundoff here), and
+                # the correction is applied PER LANE only where it provably
+                # shrinks the residual: late-stage KKT matrices reach
+                # cond ~ 1e13, where cond * eps_f32 > 1 and unsafeguarded IR
+                # turns the hardest lane's correction into amplified noise.
+                M64 = M.astype(jnp.float64)
+                dx64 = dx.astype(jnp.float64)
+                rhs64 = rhs_c.astype(jnp.float64)
+                resid = jnp.einsum("bij,bj->bi", M64, dx64) - rhs64
+                e = chol_resolve(L_flat, resid.astype(jnp.float32), nz,
+                                 tile=tile, interpret=interpret)
+                resid2 = resid - jnp.einsum("bij,bj->bi", M64,
+                                            e.astype(jnp.float64))
+                better = (jnp.sum(resid2 * resid2, axis=1)
+                          < jnp.sum(resid * resid, axis=1))
+                dx = dx - jnp.where(better[:, None], e, 0.0)
             ds, dz = expand(dx, rc)
             ap = steplen(s, ds, 0.995)[:, None]
             ad = steplen(z, dz, 0.995)[:, None]
