@@ -47,7 +47,8 @@ def main():
 
     from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
     from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
-    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
+    from lbmpc_tpu.controllers.sqp_fused import (make_lbmpc_solver_fused,
+                                                 make_lbmpc_solver_hybrid)
 
     qp = build_fmincon_lmpc(
         sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
@@ -61,6 +62,12 @@ def main():
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=3, ipm_iters=20,
+    )
+    hybrid_solve = make_lbmpc_solver_hybrid(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=3, ipm_iters=20,
+        repair_frac=1.0 / 16.0,
     )
 
     rng = np.random.default_rng(0)
@@ -107,9 +114,11 @@ def main():
     backends = {
         "vmapped_sqp": jax.vmap(sc.solve),
         "fused_sqp": fused_solve,
+        "hybrid_sqp": hybrid_solve,
     }
     best = None
-    for name, batch, R in (("vmapped_sqp", 8192, 8), ("fused_sqp", 2048, 32)):
+    for name, batch, R in (("vmapped_sqp", 8192, 8), ("fused_sqp", 2048, 32),
+                           ("hybrid_sqp", 2048, 32)):
         dx, windows, z0 = batch_inputs(batch, R)
         run = make_scan(backends[name], R)
         force(run(dx, windows, z0))

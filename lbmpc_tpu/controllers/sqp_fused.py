@@ -27,7 +27,7 @@ import numpy as np
 
 from lbmpc_tpu.controllers.condensed import CondensedQP
 from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
-from lbmpc_tpu.oracle import make_xi, nw_estimate
+from lbmpc_tpu.oracle import make_xi, nw_estimate, nw_estimate_and_jac
 from lbmpc_tpu.ops.ipm_fused import build_fused_qp_solver
 
 _ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625)
@@ -49,9 +49,18 @@ def make_lbmpc_solver_fused(
     tile: int = 512,
     rho: float = 1e4,
     interpret: bool = False,
+    scale: bool = True,
+    jac_mode: str = "manual",
 ):
     """Returns solve_batch(dx0 (B,n), windows (batched DataWindow), z_ws (B,nz))
-    -> (z (B,nz), converged (B,)). float32 throughput path."""
+    -> (z (B,nz), converged (B,)). float32 throughput path.
+
+    jac_mode="manual" (default) uses the hand-derived Gauss-Newton Jacobian:
+    the residual is linear in the rollout trajectory, so J comes from one
+    sensitivity-propagation scan (S_{k+1} = A S_k + B du/dz + Jg dxi/dz, with
+    the oracle Jacobian Jg in closed form — oracle.nw_estimate_and_jac)
+    instead of nz jacfwd tangent passes each re-evaluating the q-point NW
+    kernel. Same values to f32 roundoff; "jacfwd" keeps the autodiff path."""
     N, n, m = qp.N, qp.n, qp.m
     f32 = jnp.float32
     Ad = jnp.asarray(A, f32)
@@ -68,7 +77,7 @@ def make_lbmpc_solver_fused(
     xs_ref = jnp.zeros((n,), f32) if dx_ref is None else jnp.asarray(dx_ref, f32)
     sq_delta = float(np.sqrt(delta))
     fused = build_fused_qp_solver(None, qp.G, iters=ipm_iters, tile=tile,
-                                  interpret=interpret)
+                                  interpret=interpret, scale=scale)
 
     def residual_single(z, dx0, window):
         cs = z[: N * m].reshape(N, m)
@@ -93,7 +102,69 @@ def make_lbmpc_solver_fused(
         return jnp.concatenate([rx.ravel(), ru.ravel(), rP, rT])
 
     res_b = jax.vmap(residual_single, in_axes=(0, 0, 0))
-    jac_b = jax.vmap(jax.jacfwd(residual_single), in_axes=(0, 0, 0))
+
+    nth = w.LAMBDA.shape[1]
+    nz = N * m + nth
+    Eks_np = np.zeros((N, m, nz), np.float32)
+    for k in range(N):
+        Eks_np[k, :, k * m : (k + 1) * m] = np.eye(m)
+    Eks_d = jnp.asarray(Eks_np)
+    Tsel = np.zeros((nth, nz), np.float32)
+    Tsel[:, N * m :] = np.eye(nth)
+    LAM_T = jnp.asarray(np.asarray(w.LAMBDA, np.float32) @ Tsel)  # (n, nz)
+    PSI_T = jnp.asarray(np.asarray(w.PSI, np.float32) @ Tsel)     # (m, nz)
+
+    def res_jac_single(z, dx0, window):
+        """Residual AND Gauss-Newton Jacobian in one sensitivity scan."""
+        cs = z[: N * m].reshape(N, m)
+        theta = z[N * m :]
+        S0 = jnp.zeros((n, nz), z.dtype)
+
+        def step(carry, inp):
+            x, S = carry
+            c, Ek = inp
+            if family == "fmincon":
+                u = Ksd @ x + c
+                dudz = Ksd @ S + Ek
+            else:
+                u = c
+                dudz = Ek
+            gv, Jg = nw_estimate_and_jac(make_xi(x, u), window,
+                                         bandwidth, ridge)
+            dxidz = jnp.concatenate([S[:2], dudz], axis=0)  # xi = [x0, x1, u]
+            x1 = Ad @ x + Bd @ u + gv
+            S1 = Ad @ S + Bd @ dudz + Jg @ dxidz
+            return (x1, S1), (x, u, S, dudz)
+
+        (xN, SN), (xs, us, Ss, dudzs) = jax.lax.scan(step, (dx0, S0),
+                                                     (cs, Eks_d))
+        xa = LAM @ theta
+        ua = PSI @ theta
+        if family == "fmincon":
+            rx = (xs[: N - 2] - xa) @ Lq.T
+            ru = (us[: N - 2] - ua) @ Lr.T
+            Jrx = jnp.einsum("ij,kjz->kiz", Lq, Ss[: N - 2] - LAM_T[None])
+            Jru = jnp.einsum("ij,kjz->kiz", Lr, dudzs[: N - 2] - PSI_T[None])
+        else:
+            rx = sq_delta * ((xs - xa) @ Lq.T)
+            ru = sq_delta * ((us - ua) @ Lr.T)
+            Jrx = sq_delta * jnp.einsum("ij,kjz->kiz", Lq, Ss - LAM_T[None])
+            Jru = sq_delta * jnp.einsum("ij,kjz->kiz", Lr, dudzs - PSI_T[None])
+        rP = Lp @ (xN - xa)
+        rT = w.sqrtT * (xa - xs_ref)
+        JrP = Lp @ (SN - LAM_T)
+        JrT = w.sqrtT * LAM_T
+        e = jnp.concatenate([rx.ravel(), ru.ravel(), rP, rT])
+        J = jnp.concatenate([Jrx.reshape(-1, nz), Jru.reshape(-1, nz),
+                             JrP, JrT], axis=0)
+        return e, J
+
+    if jac_mode == "manual":
+        resjac_b = jax.vmap(res_jac_single, in_axes=(0, 0, 0))
+    else:
+        jac_b = jax.vmap(jax.jacfwd(residual_single), in_axes=(0, 0, 0))
+        resjac_b = lambda z, dx0, wins: (res_b(z, dx0, wins),
+                                         jac_b(z, dx0, wins))
 
     @jax.jit
     def solve_batch(dx0, windows, z_ws):
@@ -118,8 +189,7 @@ def make_lbmpc_solver_fused(
 
         mu_last = jnp.zeros((dx0.shape[0],), f32)
         for _ in range(sqp_iters):
-            e = res_b(z, dx0, windows)
-            J = jac_b(z, dx0, windows)                     # (B, ne, nz)
+            e, J = resjac_b(z, dx0, windows)               # (B, ne), (B, ne, nz)
             Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
             Hb = Hb + 1e-6 * jnp.eye(Hb.shape[-1], dtype=f32)[None]
             gb = 2.0 * jnp.einsum("bei,be->bi", J, e, precision=jax.lax.Precision.HIGHEST)
@@ -159,5 +229,86 @@ def make_lbmpc_solver_fused(
     # context-free entry for embedding in an outer jitted scan (see
     # runtime/closed_loop.run_closed_loop_batched); caller owns f32 casting
     # and matmul precision
+    solve_batch.raw = _solve
+    solve_batch._res_b = res_b            # test hooks: batched residual and
+    solve_batch._resjac_b = resjac_b      # residual+Jacobian (jac_mode path)
+    return solve_batch
+
+
+def make_lbmpc_solver_hybrid(
+    qp: CondensedQP,
+    A: np.ndarray,
+    B: np.ndarray,
+    Ks: np.ndarray,
+    w: LBMPCWeights,
+    family: str = "fmincon",
+    delta: float = 0.01,
+    bandwidth: float = 0.5,
+    ridge: float = 0.001,
+    dx_ref: np.ndarray | None = None,
+    sqp_iters: int = 3,
+    ipm_iters: int = 20,
+    tile: int = 512,
+    rho: float = 1e4,
+    interpret: bool = False,
+    scale: bool = True,
+    repair_frac: float = 1.0 / 16.0,
+    repair_ipm_iters: int = 30,
+):
+    """Fused batch SQP + fixed-shape vmapped repair of flagged lanes.
+
+    ROADMAP item 1(b): the fused backend is ~1.5x faster per solve but a few
+    percent of lanes can land away from the optimum (flagged by `converged`).
+    This wrapper re-solves the worst K = ceil(B * repair_frac) lanes with the
+    vmapped f32 SQP (controllers/lbmpc.py) *inside the same jit*: top_k over
+    the flagged mask gathers a fixed-size sub-batch (shape-static, so the
+    whole thing stays one traced program), the vmapped path solves it from the
+    original warm start, and results scatter back only where a lane was
+    actually flagged. If more than K lanes are flagged the extras keep their
+    fused result (and stay flagged). Repair cost ~ repair_frac * vmapped cost.
+
+    Returns solve_batch(dx0, windows, z_ws) -> (z, converged) like the fused
+    factory, plus .raw for embedding in an outer jitted scan.
+    """
+    from lbmpc_tpu.controllers.lbmpc import make_lbmpc_solver
+
+    fused = make_lbmpc_solver_fused(
+        qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
+        ridge=ridge, dx_ref=dx_ref, sqp_iters=sqp_iters, ipm_iters=ipm_iters,
+        tile=tile, rho=rho, interpret=interpret, scale=scale)
+    vm = make_lbmpc_solver(
+        qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
+        ridge=ridge, dx_ref=dx_ref, sqp_iters=sqp_iters,
+        ipm_iters=repair_ipm_iters, dtype=jnp.float32)
+    vm_b = jax.vmap(vm, in_axes=(0, 0, 0))
+    f32 = jnp.float32
+
+    def _solve(dx0, windows, z_ws):
+        z, conv = fused.raw(dx0, windows, z_ws)
+        Bsz = dx0.shape[0]
+        K = max(1, min(Bsz, int(round(Bsz * repair_frac))))
+        flagged = ~conv
+        # top_k over the 0/1 flagged mask lists every flagged lane first;
+        # converged lanes fill the remaining slots and are masked out by
+        # `take` below, so their repair solves are computed-and-discarded
+        # (fixed shapes beat data-dependent gathers under jit)
+        _, idx = jax.lax.top_k(flagged.astype(f32), K)
+        take = flagged[idx]
+        sub_w = jax.tree.map(lambda a: a[idx], windows)
+        z_r, conv_r = vm_b(dx0[idx], sub_w, z_ws[idx])
+        z_r = jnp.where(jnp.isfinite(z_r), z_r, 0.0)
+        z = z.at[idx].set(jnp.where(take[:, None], z_r, z[idx]))
+        conv = conv.at[idx].set(jnp.where(take, conv_r, conv[idx]))
+        return z, conv
+
+    @jax.jit
+    def solve_batch(dx0, windows, z_ws):
+        with jax.default_matmul_precision("highest"):
+            return _solve(
+                dx0.astype(f32),
+                jax.tree.map(lambda a: a.astype(f32)
+                             if a.dtype != jnp.int32 else a, windows),
+                z_ws.astype(f32))
+
     solve_batch.raw = _solve
     return solve_batch

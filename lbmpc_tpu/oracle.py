@@ -115,6 +115,43 @@ def nw_estimate(
     return weights @ Y                                           # (..., d_out)
 
 
+def nw_estimate_and_jac(
+    xi: jax.Array,
+    window: DataWindow,
+    bandwidth: float = 0.5,
+    ridge: float = 0.001,
+) -> tuple[jax.Array, jax.Array]:
+    """NW value AND its xi-Jacobian from one shared kernel evaluation.
+
+    With w_i(xi) = v_i k_i / D, D = ridge + sum_j v_j k_j and
+    k_i = exp(-||X_i - xi||^2 / bw^2):
+
+        d yhat / d xi = (2 / bw^2) [ sum_i w_i Y_i (X_i - xi)^T
+                                     - yhat (sum_j w_j (X_j - xi))^T ]
+
+    Closed form shares kval/weights with the value, so value+Jacobian costs
+    ~one forward pass plus a (q, d_out, d_in) contraction — vs d_in (or worse,
+    the SQP's nz) tangent passes under jacfwd, each re-doing the q kernel
+    exps. This is the hot-path derivative for the hand-derived Gauss-Newton
+    Jacobian in controllers/sqp_fused.py (ROADMAP perf item 2).
+
+    Returns (yhat (..., d_out), J (..., d_out, d_in)).
+    """
+    X, Y, valid = window.X, window.Y, window.valid
+    diff = X - xi[..., None, :]                                  # (..., q, d_in)
+    sq = jnp.sum(diff * diff, axis=-1)                           # (..., q)
+    kval = jnp.exp(-sq / (bandwidth * bandwidth))
+    denom = ridge + jnp.sum(kval * valid, axis=-1, keepdims=True)
+    weights = (kval * valid) / denom                             # (..., q)
+    yhat = weights @ Y                                           # (..., d_out)
+    # sum_i w_i Y_i (X_i - xi)^T  and  sum_j w_j (X_j - xi)
+    T1 = jnp.einsum("...q,qo,...qi->...oi", weights, Y, diff)
+    s1 = jnp.einsum("...q,...qi->...i", weights, diff)
+    J = (2.0 / (bandwidth * bandwidth)) * (
+        T1 - yhat[..., :, None] * s1[..., None, :])
+    return yhat, J
+
+
 def make_xi(dx: jax.Array, du: jax.Array) -> jax.Array:
     """Regressor xi = [dx1; dx2; du] (ref: oracleL2NW.m:2 `ksi=[x(1:2);u]`)."""
     return jnp.concatenate([dx[..., :2], du], axis=-1)

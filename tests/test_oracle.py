@@ -134,3 +134,34 @@ def test_make_xi_layout():
     dx = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     du = jnp.asarray([5.0])
     np.testing.assert_allclose(np.asarray(make_xi(dx, du)), [1.0, 2.0, 5.0])
+
+
+def test_nw_estimate_and_jac_matches_jacfwd():
+    """Closed-form NW Jacobian (hot-path derivative) == autodiff, f64."""
+    import jax
+
+    from lbmpc_tpu.oracle import nw_estimate, nw_estimate_and_jac, init_window
+
+    rng = np.random.default_rng(3)
+    q = 40
+    win = init_window(q)
+    win = type(win)(
+        X=jnp.asarray(0.3 * rng.standard_normal((q, 3))),
+        Y=jnp.asarray(0.01 * rng.standard_normal((q, 4))),
+        valid=jnp.asarray((rng.random(q) > 0.3).astype(float)),
+        count=jnp.asarray(q, jnp.int32),
+    )
+    for _ in range(5):
+        xi = jnp.asarray(0.4 * rng.standard_normal(3))
+        y, J = nw_estimate_and_jac(xi, win)
+        y_ref = nw_estimate(xi, win)
+        J_ref = jax.jacfwd(lambda v: nw_estimate(v, win))(xi)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref), atol=1e-11)
+    # stacked-query batching matches per-query
+    xis = jnp.asarray(0.4 * rng.standard_normal((7, 3)))
+    yb, Jb = nw_estimate_and_jac(xis, win)
+    for i in range(7):
+        yi, Ji = nw_estimate_and_jac(xis[i], win)
+        np.testing.assert_allclose(np.asarray(yb[i]), np.asarray(yi), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(Jb[i]), np.asarray(Ji), atol=1e-13)
