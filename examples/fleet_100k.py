@@ -26,7 +26,9 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--instances", type=int, default=131072)
-    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="cohort size; 0 = pick from the HBM budget model "
+                         "(runtime/sharding.estimate_fleet_budget)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--N", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
@@ -49,6 +51,7 @@ def main():
     from lbmpc_tpu.config import make_preset
     from lbmpc_tpu.runtime.scenario import build_scenario
     from lbmpc_tpu.runtime.sharding import (
+        estimate_fleet_budget,
         fleet_runner,
         global_solve_stats,
         initialize_multihost,
@@ -66,6 +69,16 @@ def main():
         oracle=dataclasses.replace(cfg.oracle, q=32),
     )
     sc = build_scenario(cfg)
+
+    if not args.chunk:
+        budget = estimate_fleet_budget(
+            n=4, m=1, nth=1, N=args.N, q=cfg.oracle.q, iterations=args.steps,
+            fleet=args.instances)
+        if not budget["fits"]:
+            sys.exit(f"fleet does not fit HBM: {budget}")
+        # per-chip validated ceiling is 8192 (see docstring of the estimator)
+        args.chunk = min(budget["max_chunk"], 8192, args.instances)
+        print(f"chunk auto-picked: {args.chunk} (budget {budget})")
 
     rng = np.random.default_rng(0)
     dx0 = jnp.asarray(

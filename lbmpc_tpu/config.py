@@ -79,7 +79,9 @@ class SolverConfig:
     ipm_iters: int = 25
     ipm_tol: float = 1e-9         # used for masking, not for early exit
     sqp_iters: int = 4
-    dtype: Literal["float32", "float64"] = "float64"
+    # "mixed": f32 IPM + f64 warm-started refinement (ops.ipm.solve_qp_mixed)
+    # — f32 device speed with <1e-5 solution error (ROADMAP perf item 3)
+    dtype: Literal["float32", "float64", "mixed"] = "float64"
     plant_integrator: Literal["rk4", "rk23", "rk4_fine"] = "rk23"
 
 

@@ -61,6 +61,7 @@ def make_lbmpc_solver(
     sqp_iters: int = 3,
     ipm_iters: int = 30,
     dtype=jnp.float64,
+    mixed: bool = False,
 ):
     """Returns solve(dx0, window, z_ws) -> (z, converged), pure and jittable.
 
@@ -113,7 +114,8 @@ def make_lbmpc_solver(
         res_fn = lambda z: residuals(z, dx0, window)
         cost_fn = lambda z: jnp.sum(res_fn(z) ** 2)
         h = h0d + Hpd @ dx0
-        out = sqp_solve(cost_fn, res_fn, Gd, h, z_ws, iters=sqp_iters, ipm_iters=ipm_iters)
+        out = sqp_solve(cost_fn, res_fn, Gd, h, z_ws, iters=sqp_iters,
+                        ipm_iters=ipm_iters, mixed=mixed)
         return out.z, out.qp_converged
 
     return solve

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from lbmpc_tpu.controllers.condensed import CondensedQP
-from lbmpc_tpu.ops.ipm import IPMSolution, solve_qp
+from lbmpc_tpu.ops.ipm import IPMSolution, solve_qp, solve_qp_mixed
 
 
 class QPDevice(NamedTuple):
@@ -40,14 +40,21 @@ class QPDevice(NamedTuple):
         )
 
 
-def make_lmpc_solver(qp: CondensedQP, ipm_iters: int = 30, dtype=jnp.float64):
-    """Returns solve(dx) -> (z, IPMSolution); pure, jit/vmap-friendly."""
-    dev = QPDevice.from_condensed(qp, dtype)
+def make_lmpc_solver(qp: CondensedQP, ipm_iters: int = 30, dtype=jnp.float64,
+                     mixed: bool = False):
+    """Returns solve(dx) -> (z, IPMSolution); pure, jit/vmap-friendly.
+
+    mixed=True routes the QP through solve_qp_mixed (f32 IPM + f64 refinement;
+    requires dtype=float64 arrays for the refinement stage)."""
+    dev = QPDevice.from_condensed(qp, jnp.float64 if mixed else dtype)
 
     def solve(dx: jax.Array) -> tuple[jax.Array, IPMSolution]:
         g = dev.Gg @ dx + dev.g0
         h = dev.h0 + dev.Hp @ dx
-        sol = solve_qp(dev.H, g, dev.G, h, iters=ipm_iters)
+        if mixed:
+            sol = solve_qp_mixed(dev.H, g, dev.G, h, f32_iters=ipm_iters)
+        else:
+            sol = solve_qp(dev.H, g, dev.G, h, iters=ipm_iters)
         return sol.x, sol
 
     return solve

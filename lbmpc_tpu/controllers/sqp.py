@@ -19,7 +19,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from lbmpc_tpu.ops.ipm import solve_qp
+from lbmpc_tpu.ops.ipm import solve_qp, solve_qp_mixed
 
 
 class SQPResult(NamedTuple):
@@ -47,8 +47,12 @@ def sqp_solve(
     ipm_iters: int = 30,
     rho: float = 1e4,
     reg: float = 1e-9,
+    mixed: bool = False,
 ) -> SQPResult:
     """Minimize cost_fn(z) = ||residual_fn(z)||^2 subject to G z <= h.
+
+    mixed=True solves each QP subproblem with solve_qp_mixed (f32 IPM + f64
+    warm-started refinement) — f32-class device cost, f64-class step accuracy.
 
     residual_fn returns the stacked weighted residual vector e(z) with
     cost = e'e; the Gauss-Newton Hessian 2 J'J (J = de/dz via jacfwd) is PSD,
@@ -67,7 +71,10 @@ def sqp_solve(
         H = 2.0 * J.T @ J + reg * Ireg
         g = grad_fn(z)
         # QP in step d: min 1/2 d'Hd + g'd  s.t. G d <= h - G z
-        sol = solve_qp(H, g, G, h - G @ z, iters=ipm_iters)
+        if mixed:
+            sol = solve_qp_mixed(H, g, G, h - G @ z, f32_iters=ipm_iters)
+        else:
+            sol = solve_qp(H, g, G, h - G @ z, iters=ipm_iters)
         d = sol.x
         m0, v0 = _merit(cost_fn, G, h, z, rho)
         dir_deriv = jnp.dot(g, d) - rho * v0  # descent estimate for merit

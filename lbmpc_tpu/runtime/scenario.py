@@ -84,7 +84,10 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     N = cfg.ocp.N
     iters_ipm = ipm_iters or cfg.solver.ipm_iters
     w = LBMPCWeights.make(ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI)
-    dtype = jnp.float64 if cfg.solver.dtype == "float64" else jnp.float32
+    # "mixed" keeps f64 arrays (the refinement stage needs them); the f32 IPM
+    # stage casts internally (ops.ipm.solve_qp_mixed)
+    dtype = jnp.float32 if cfg.solver.dtype == "float32" else jnp.float64
+    mixed = cfg.solver.dtype == "mixed"
 
     if cfg.family == "fmincon":
         qp = build_fmincon_lmpc(
@@ -106,7 +109,8 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
         warm = make_casadi_warm_start(qp, A, B, ocp.Ks)
 
     if cfg.controller == "lmpc":
-        lin_solve = make_lmpc_solver(qp, ipm_iters=iters_ipm, dtype=dtype)
+        lin_solve = make_lmpc_solver(qp, ipm_iters=iters_ipm, dtype=dtype,
+                                     mixed=mixed)
 
         def solve(dx, window, z_ws):
             z, sol = lin_solve(dx)
@@ -120,6 +124,7 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
             bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
             dx_ref=np.asarray(cfg.dx_ref),
             sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm, dtype=dtype,
+            mixed=mixed,
         )
         learn = cfg.learn_online
     elif cfg.controller == "nmpc":

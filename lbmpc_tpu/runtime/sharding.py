@@ -119,6 +119,69 @@ def fleet_runner(episode_fn: Callable, mesh: Mesh, chunk: int,
     return run_fleet
 
 
+def estimate_fleet_budget(
+    *,
+    n: int,
+    m: int,
+    nth: int,
+    N: int,
+    q: int,
+    iterations: int,
+    fleet: int,
+    d_in: int = 3,
+    d_out: int = 4,
+    history_bytes: int = 4,
+    work_bytes: int = 4,
+    hbm_bytes: int = 16 << 30,   # v5e: 16 GiB per chip
+    safety: float = 2.5,
+) -> dict:
+    """HBM budget model for fleet episodes (ROADMAP coverage item 6).
+
+    Two resident terms on each chip:
+      - fleet outputs: lax.scan stacks every cohort's ClosedLoopResult, so the
+        WHOLE fleet's histories live in HBM at once —
+        iterations * (n + 2m + 1) numbers per instance (sys/art/conv logs);
+      - cohort working set: per-lane solver live set, dominated by the
+        Gauss-Newton Jacobian (ne x nz), a few (nz x nz) KKT buffers
+        (M/L/scaled copies), the constraint stack row (mI,), and the oracle
+        window (q x (d_in + d_out + 1)).
+
+    `safety` covers XLA temporaries/fragmentation. Calibration points (one
+    real v5e chip): a 131072-instance fleet with f32 histories at chunk 8192
+    runs (model: max_chunk 65536 at safety=2.5), while the same fleet with f64
+    histories at chunk 16384 crashes the TPU worker (model: does not fit at
+    all — max_chunk 0 — at safety=2.5; it sat exactly at the boundary at
+    safety=2, so the default stays conservative).
+
+    Returns dict with per_instance_out, per_lane_work (bytes), fleet_out,
+    max_chunk (largest power of two whose cohort fits beside the outputs;
+    0 if the outputs alone bust the budget) and fits (bool).
+    """
+    nz = N * m + nth
+    ne = (N - 2) * (n + m) + n + n          # fmincon residual stack
+    mI_guess = 30 * N + 640                  # constraint rows (~616-row MPIS)
+    per_instance_out = iterations * (n + 2 * m + 1) * history_bytes
+    per_lane_work = work_bytes * (
+        ne * nz                 # J
+        + 4 * nz * nz           # Hb + M + L + equilibrated copy
+        + 2 * mI_guess          # h rows + slack/dual vectors
+        + q * (d_in + d_out + 1)  # oracle window
+        + 4 * ne                # residual + merit temporaries
+    )
+    fleet_out = fleet * per_instance_out
+    avail = hbm_bytes / safety - fleet_out
+    max_chunk = 0
+    if avail > per_lane_work:
+        max_chunk = 1 << int(np.floor(np.log2(avail / per_lane_work)))
+    return dict(
+        per_instance_out=per_instance_out,
+        per_lane_work=per_lane_work,
+        fleet_out=fleet_out,
+        max_chunk=max_chunk,
+        fits=max_chunk >= 1,
+    )
+
+
 def global_solve_stats(mesh: Mesh, converged: jax.Array, axis: str = "scenario"):
     """Cross-chip reduction of per-scenario convergence flags via psum.
 

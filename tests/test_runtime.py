@@ -211,3 +211,36 @@ def test_batched_fused_episode_matches_f64_episodes():
     ref = jax.vmap(build_scenario(ref_cfg).episode)(dx0)
     diff = np.abs(np.asarray(res.sys_history) - np.asarray(ref.sys_history)).max()
     assert diff < 5e-4, diff
+
+
+def test_mixed_dtype_episode_tracks_f64():
+    """Scenario-level dtype='mixed' (f32 IPM + f64 refinement per QP) stays
+    within ~1e-5 of the all-f64 episode — ROADMAP perf item 3."""
+    import dataclasses
+
+    cfg64 = make_preset("LBMPC_N40", iterations=4)
+    cfgmx = dataclasses.replace(
+        cfg64, solver=dataclasses.replace(cfg64.solver, dtype="mixed"))
+    r64 = build_scenario(cfg64).run()
+    rmx = build_scenario(cfgmx).run()
+    d = np.abs(np.asarray(rmx.sys_history) - np.asarray(r64.sys_history)).max()
+    assert d < 1e-5, d
+    assert np.asarray(rmx.solver_converged).all()
+
+
+def test_fleet_budget_estimator_calibration():
+    """HBM budget model reproduces the two measured operating points
+    (validated f32 fleet fits with margin; crashed f64 config is rejected)."""
+    from lbmpc_tpu.runtime.sharding import estimate_fleet_budget
+
+    ok = estimate_fleet_budget(n=4, m=1, nth=1, N=20, q=100, iterations=1000,
+                               fleet=131072)
+    assert ok["fits"] and ok["max_chunk"] >= 8192
+    bad = estimate_fleet_budget(n=4, m=1, nth=1, N=20, q=100, iterations=1000,
+                                fleet=131072, history_bytes=8, work_bytes=8)
+    assert not bad["fits"]
+    # shrinking the fleet makes f64 fit again
+    small = estimate_fleet_budget(n=4, m=1, nth=1, N=20, q=100,
+                                  iterations=1000, fleet=16384,
+                                  history_bytes=8, work_bytes=8)
+    assert small["fits"]
