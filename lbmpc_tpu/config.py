@@ -36,6 +36,14 @@ class MGCMConfig:
     u_wp: float = MGCM_EQ_U
     # uncertainty bound (ref: LBMPC_RunExample.m:38)
     state_uncert: tuple = (0.02, 5e-4, 0.0, 0.0)
+    # tube-certified residual disturbance (robust_tube presets): the bound the
+    # Ks-consistent mRPIS absorbs. Defaults to state_uncert when None; the MG2
+    # robust preset sets it to the measured near-equilibrium linearization
+    # error ceiling (1.07e-4 at |dx|<0.1, rk23 vs DLTI; 1.5e-4 with margin) —
+    # the post-oracle residual the tube actually needs to cover, since the
+    # full state_uncert overruns the input budget on this plant for ANY
+    # stabilizing gain (|Ks e| > 2 at the gentlest viable poles).
+    tube_uncert: tuple | None = None
     model: Literal["mgcm4", "mg2"] = "mgcm4"
 
     @property
@@ -59,6 +67,10 @@ class OCPConfig:
     # (constraintsLMPC.m:36-38) — both preserved behind this switch.
     terminal_at: Literal["first", "last"] = "last"
     tighten_first_step: bool = False  # F_x_d at k=1 (LBMPC robust variants)
+    # Ks-consistent disturbance-invariant tube (sets/terminal.py
+    # get_cons_robust_ks) instead of the reference's K_t-based robust stack —
+    # the construction that actually contracts on the MG2 reduction
+    robust_tube: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -186,6 +198,23 @@ def make_preset(name: str, **overrides) -> ScenarioConfig:
                 name="MG2_LBMPC_N20", plant=mg2_plant,
                 ocp=OCPConfig(N=20, poles=(0.75, 0.78), terminal_at="last",
                               tighten_first_step=False),
+                oracle=mg2_oracle, solver=base_solver,
+                controller="lbmpc", family="fmincon",
+                dx_init=(-0.35, -0.4), dx_ref=(0.0, 0.0),
+                x_init_abs=(0.15, 1.2875),
+            )
+        )
+        # MG2 robust variant: Ks-consistent tube (ROADMAP robustness item 10)
+        # — mRPIS tube around the actual prestabilizer, tightened stage sets,
+        # Ks-consistent terminal MPIS. The true-plant model error acts as the
+        # bounded disturbance.
+        _register(
+            ScenarioConfig(
+                name="MG2_LBMPC_N20_robust",
+                plant=dataclasses.replace(mg2_plant,
+                                          tube_uncert=(1.5e-4, 1.5e-4)),
+                ocp=OCPConfig(N=20, poles=(0.75, 0.78), terminal_at="last",
+                              robust_tube=True),
                 oracle=mg2_oracle, solver=base_solver,
                 controller="lbmpc", family="fmincon",
                 dx_init=(-0.35, -0.4), dx_ref=(0.0, 0.0),

@@ -21,7 +21,7 @@ import numpy as np
 
 from lbmpc_tpu.controllers.condensed import CondensedQP
 from lbmpc_tpu.controllers.sqp import sqp_solve
-from lbmpc_tpu.oracle import DataWindow, make_xi, nw_estimate
+from lbmpc_tpu.oracle import DataWindow, make_xi, nw_estimate, nw_estimate_and_jac
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +47,114 @@ class LBMPCWeights:
         )
 
 
+def make_residual_and_jac(
+    qp: CondensedQP,
+    A: np.ndarray,
+    B: np.ndarray,
+    Ks: np.ndarray,
+    w: LBMPCWeights,
+    family: str = "fmincon",
+    delta: float = 0.01,
+    bandwidth: float = 0.5,
+    ridge: float = 0.001,
+    dx_ref: np.ndarray | None = None,
+    dtype=jnp.float64,
+):
+    """Gauss-Newton residual stack and its HAND-DERIVED Jacobian (one scan).
+
+    The residual is linear in the learned-rollout trajectory, so its Jacobian
+    follows from sensitivity propagation S_{k+1} = (A + Jg dxi/dx) S_k +
+    (B + Jg dxi/du) du/dz with the oracle Jacobian Jg in closed form
+    (oracle.nw_estimate_and_jac) — ~3 tangent dims through the q-point NW
+    kernel instead of nz under jacfwd. Returns (residual(z, dx0, window),
+    res_jac(z, dx0, window) -> (e, J)); both pure/jittable/vmappable.
+    """
+    N, n, m = qp.N, qp.n, qp.m
+    nth = np.atleast_2d(np.asarray(w.LAMBDA)).shape[1]
+    nz = N * m + nth
+    Ad = jnp.asarray(A, dtype)
+    Bd = jnp.asarray(B, dtype)
+    Ksd = jnp.asarray(np.atleast_2d(Ks), dtype)
+    Lq = jnp.asarray(w.Lq, dtype)
+    Lr = jnp.asarray(w.Lr, dtype)
+    Lp = jnp.asarray(w.Lp, dtype)
+    LAM = jnp.asarray(w.LAMBDA, dtype)
+    PSI = jnp.asarray(w.PSI, dtype)
+    xs_ref = (jnp.zeros((n,), dtype) if dx_ref is None
+              else jnp.asarray(dx_ref, dtype))
+    sq_delta = float(np.sqrt(delta))
+    Eks_np = np.zeros((N, m, nz))
+    for k in range(N):
+        Eks_np[k, :, k * m : (k + 1) * m] = np.eye(m)
+    Eks_d = jnp.asarray(Eks_np, dtype)
+    Tsel = np.zeros((nth, nz))
+    Tsel[:, N * m :] = np.eye(nth)
+    LAM_T = jnp.asarray(np.atleast_2d(np.asarray(w.LAMBDA, float)) @ Tsel, dtype)
+    PSI_T = jnp.asarray(np.atleast_2d(np.asarray(w.PSI, float)) @ Tsel, dtype)
+
+    def _finish(theta, xs, us, xN):
+        xa = LAM @ theta
+        ua = PSI @ theta
+        if family == "fmincon":
+            rx = (xs[: N - 2] - xa) @ Lq.T
+            ru = (us[: N - 2] - ua) @ Lr.T
+        else:
+            rx = sq_delta * ((xs - xa) @ Lq.T)
+            ru = sq_delta * ((us - ua) @ Lr.T)
+        rP = Lp @ (xN - xa)
+        rT = w.sqrtT * (xa - xs_ref)
+        return jnp.concatenate([rx.ravel(), ru.ravel(), rP, rT])
+
+    def residual(z, dx0, window):
+        cs = z[: N * m].reshape(N, m)
+
+        def step(x, c):
+            u = Ksd @ x + c if family == "fmincon" else c
+            x1 = (Ad @ x + Bd @ u
+                  + nw_estimate(make_xi(x, u), window, bandwidth, ridge))
+            return x1, (x, u)
+
+        xN, (xs, us) = jax.lax.scan(step, dx0, cs)
+        return _finish(z[N * m :], xs, us, xN)
+
+    def res_jac(z, dx0, window):
+        cs = z[: N * m].reshape(N, m)
+        S0 = jnp.zeros((n, nz), z.dtype)
+
+        def step(carry, inp):
+            x, S = carry
+            c, Ek = inp
+            if family == "fmincon":
+                u = Ksd @ x + c
+                dudz = Ksd @ S + Ek
+            else:
+                u = c
+                dudz = Ek
+            gv, Jg = nw_estimate_and_jac(make_xi(x, u), window,
+                                         bandwidth, ridge)
+            dxidz = jnp.concatenate([S[:2], dudz], axis=0)  # xi = [x0, x1, u]
+            x1 = Ad @ x + Bd @ u + gv
+            S1 = Ad @ S + Bd @ dudz + Jg @ dxidz
+            return (x1, S1), (x, u, S, dudz)
+
+        (xN, SN), (xs, us, Ss, dudzs) = jax.lax.scan(step, (dx0, S0),
+                                                     (cs, Eks_d))
+        if family == "fmincon":
+            Jrx = jnp.einsum("ij,kjz->kiz", Lq, Ss[: N - 2] - LAM_T[None])
+            Jru = jnp.einsum("ij,kjz->kiz", Lr, dudzs[: N - 2] - PSI_T[None])
+        else:
+            Jrx = sq_delta * jnp.einsum("ij,kjz->kiz", Lq, Ss - LAM_T[None])
+            Jru = sq_delta * jnp.einsum("ij,kjz->kiz", Lr, dudzs - PSI_T[None])
+        JrP = Lp @ (SN - LAM_T)
+        JrT = w.sqrtT * LAM_T
+        e = _finish(z[N * m :], xs, us, xN)
+        J = jnp.concatenate([Jrx.reshape(-1, nz), Jru.reshape(-1, nz),
+                             JrP, JrT], axis=0)
+        return e, J
+
+    return residual, res_jac
+
+
 def make_lbmpc_solver(
     qp: CondensedQP,
     A: np.ndarray,
@@ -69,53 +177,25 @@ def make_lbmpc_solver(
     quirk of costLBMPC.m (running stages 0..N-3, terminal on x_N).
     family='casadi': direct du decision, delta-scaled running stages 0..N-1
     (ref: DMS_LBMPC_casadi.m costfunction), terminal on learned x_N.
+
+    The QP subproblems use the hand-derived Gauss-Newton Jacobian
+    (make_residual_and_jac) — identical values to the jacfwd path, ~nz/3
+    fewer tangent passes through the NW kernel.
     """
-    N, n, m = qp.N, qp.n, qp.m
-    nth = w.LAMBDA.shape[1]
-    Ad = jnp.asarray(A, dtype)
-    Bd = jnp.asarray(B, dtype)
-    Ksd = jnp.asarray(np.atleast_2d(Ks), dtype)
-    Lq = jnp.asarray(w.Lq, dtype)
-    Lr = jnp.asarray(w.Lr, dtype)
-    Lp = jnp.asarray(w.Lp, dtype)
-    LAM = jnp.asarray(w.LAMBDA, dtype)
-    PSI = jnp.asarray(w.PSI, dtype)
     Gd = jnp.asarray(qp.G, dtype)
     h0d = jnp.asarray(qp.h0, dtype)
     Hpd = jnp.asarray(qp.Hp, dtype)
-    xs_ref = jnp.zeros((n,), dtype) if dx_ref is None else jnp.asarray(dx_ref, dtype)
-    sq_delta = float(np.sqrt(delta))
-
-    def rollout(z, dx0, window):
-        cs = z[: N * m].reshape(N, m)
-        def step(x, c):
-            u = Ksd @ x + c if family == "fmincon" else c
-            x1 = Ad @ x + Bd @ u + nw_estimate(make_xi(x, u), window, bandwidth, ridge)
-            return x1, (x, u)
-        xN, (xs, us) = jax.lax.scan(step, dx0, cs)
-        return xs, us, xN
-
-    def residuals(z, dx0, window):
-        theta = z[N * m :]
-        xs, us, xN = rollout(z, dx0, window)
-        xa = LAM @ theta
-        ua = PSI @ theta
-        if family == "fmincon":
-            rx = (xs[: N - 2] - xa) @ Lq.T          # stages 0..N-3
-            ru = (us[: N - 2] - ua) @ Lr.T
-        else:
-            rx = sq_delta * ((xs - xa) @ Lq.T)      # stages 0..N-1
-            ru = sq_delta * ((us - ua) @ Lr.T)
-        rP = Lp @ (xN - xa)
-        rT = w.sqrtT * (xa - xs_ref)
-        return jnp.concatenate([rx.ravel(), ru.ravel(), rP, rT])
+    residuals, res_jac = make_residual_and_jac(
+        qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
+        ridge=ridge, dx_ref=dx_ref, dtype=dtype)
 
     def solve(dx0, window: DataWindow, z_ws):
         res_fn = lambda z: residuals(z, dx0, window)
         cost_fn = lambda z: jnp.sum(res_fn(z) ** 2)
         h = h0d + Hpd @ dx0
         out = sqp_solve(cost_fn, res_fn, Gd, h, z_ws, iters=sqp_iters,
-                        ipm_iters=ipm_iters, mixed=mixed)
+                        ipm_iters=ipm_iters, mixed=mixed,
+                        res_jac_fn=lambda z: res_jac(z, dx0, window))
         return out.z, out.qp_converged
 
     return solve

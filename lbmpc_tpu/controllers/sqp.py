@@ -48,6 +48,7 @@ def sqp_solve(
     rho: float = 1e4,
     reg: float = 1e-9,
     mixed: bool = False,
+    res_jac_fn: Callable | None = None,
 ) -> SQPResult:
     """Minimize cost_fn(z) = ||residual_fn(z)||^2 subject to G z <= h.
 
@@ -55,9 +56,11 @@ def sqp_solve(
     warm-started refinement) — f32-class device cost, f64-class step accuracy.
 
     residual_fn returns the stacked weighted residual vector e(z) with
-    cost = e'e; the Gauss-Newton Hessian 2 J'J (J = de/dz via jacfwd) is PSD,
-    so every QP subproblem is convex. A fixed Armijo ladder on an l1 merit
-    keeps the line search jittable.
+    cost = e'e; the Gauss-Newton Hessian 2 J'J is PSD, so every QP subproblem
+    is convex. J = de/dz comes from jacfwd, or from res_jac_fn(z) -> (e, J)
+    when the caller has a hand-derived Jacobian (cheaper tangent count — see
+    controllers/lbmpc.make_residual_and_jac). A fixed Armijo ladder on an l1
+    merit keeps the line search jittable.
     """
     nz = z0.shape[-1]
     Ireg = jnp.eye(nz, dtype=z0.dtype)
@@ -66,10 +69,14 @@ def sqp_solve(
 
     def body(carry, _):
         z = carry
-        e = residual_fn(z)
-        J = jax.jacfwd(residual_fn)(z)
+        if res_jac_fn is None:
+            e = residual_fn(z)
+            J = jax.jacfwd(residual_fn)(z)
+            g = grad_fn(z)
+        else:
+            e, J = res_jac_fn(z)
+            g = 2.0 * (J.T @ e)
         H = 2.0 * J.T @ J + reg * Ireg
-        g = grad_fn(z)
         # QP in step d: min 1/2 d'Hd + g'd  s.t. G d <= h - G z
         if mixed:
             sol = solve_qp_mixed(H, g, G, h - G @ z, f32_iters=ipm_iters)

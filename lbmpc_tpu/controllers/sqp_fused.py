@@ -9,12 +9,13 @@ phases are large batched XLA ops.
 Same math as make_lbmpc_solver (learned-rollout Gauss-Newton cost, constant
 nominal constraint stack, l1-merit Armijo ladder); float32.
 
-Accuracy note (on-chip audit, batch 2048): ~2% of lanes mu-stall in the
-Pallas-factored subproblems and land 1e-2..0.2 away from the vmapped f32
-optimum while staying primal-feasible to ~2e-7 — the returned `converged`
-mask flags exactly those lanes (gate on it; re-solve flagged lanes on the
-vmapped path if full accuracy is required). Interpret-mode kernels (CPU) do
-not show the stall (max 2e-4 vs f64).
+Accuracy note (on-chip sweep, batch 2048 — scripts/sweep_fused_conv.py): with
+the default d_cap=1e6 + Jacobi equilibration, 99.3% of lanes converge and the
+worst lane sits 1.1e-2 in c0 from the vmapped backend (the historical
+catastrophic 0.2-class mu-stall outliers were conditioning-driven and are gone
+— see ops/ipm_fused.build_fused_qp_solver docstring). The returned `converged`
+mask flags the residual mu-stalls; make_lbmpc_solver_hybrid re-solves flagged
+lanes on the vmapped path when a 100%-converged batch is required.
 """
 
 from __future__ import annotations
@@ -26,8 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbmpc_tpu.controllers.condensed import CondensedQP
-from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
-from lbmpc_tpu.oracle import make_xi, nw_estimate, nw_estimate_and_jac
+from lbmpc_tpu.controllers.lbmpc import LBMPCWeights, make_residual_and_jac
 from lbmpc_tpu.ops.ipm_fused import build_fused_qp_solver
 
 _ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625)
@@ -51,6 +51,7 @@ def make_lbmpc_solver_fused(
     interpret: bool = False,
     scale: bool = True,
     jac_mode: str = "manual",
+    d_cap: float = 1e6,
 ):
     """Returns solve_batch(dx0 (B,n), windows (batched DataWindow), z_ws (B,nz))
     -> (z (B,nz), converged (B,)). float32 throughput path.
@@ -61,104 +62,18 @@ def make_lbmpc_solver_fused(
     the oracle Jacobian Jg in closed form — oracle.nw_estimate_and_jac)
     instead of nz jacfwd tangent passes each re-evaluating the q-point NW
     kernel. Same values to f32 roundoff; "jacfwd" keeps the autodiff path."""
-    N, n, m = qp.N, qp.n, qp.m
     f32 = jnp.float32
-    Ad = jnp.asarray(A, f32)
-    Bd = jnp.asarray(B, f32)
-    Ksd = jnp.asarray(np.atleast_2d(Ks), f32)
-    Lq = jnp.asarray(w.Lq, f32)
-    Lr = jnp.asarray(w.Lr, f32)
-    Lp = jnp.asarray(w.Lp, f32)
-    LAM = jnp.asarray(w.LAMBDA, f32)
-    PSI = jnp.asarray(w.PSI, f32)
     Gd = jnp.asarray(qp.G, f32)
     h0d = jnp.asarray(qp.h0, f32)
     Hpd = jnp.asarray(qp.Hp, f32)
-    xs_ref = jnp.zeros((n,), f32) if dx_ref is None else jnp.asarray(dx_ref, f32)
-    sq_delta = float(np.sqrt(delta))
     fused = build_fused_qp_solver(None, qp.G, iters=ipm_iters, tile=tile,
-                                  interpret=interpret, scale=scale)
-
-    def residual_single(z, dx0, window):
-        cs = z[: N * m].reshape(N, m)
-        theta = z[N * m :]
-
-        def step(x, c):
-            u = Ksd @ x + c if family == "fmincon" else c
-            x1 = Ad @ x + Bd @ u + nw_estimate(make_xi(x, u), window, bandwidth, ridge)
-            return x1, (x, u)
-
-        xN, (xs, us) = jax.lax.scan(step, dx0, cs)
-        xa = LAM @ theta
-        ua = PSI @ theta
-        if family == "fmincon":
-            rx = (xs[: N - 2] - xa) @ Lq.T
-            ru = (us[: N - 2] - ua) @ Lr.T
-        else:
-            rx = sq_delta * ((xs - xa) @ Lq.T)
-            ru = sq_delta * ((us - ua) @ Lr.T)
-        rP = Lp @ (xN - xa)
-        rT = w.sqrtT * (xa - xs_ref)
-        return jnp.concatenate([rx.ravel(), ru.ravel(), rP, rT])
+                                  interpret=interpret, scale=scale,
+                                  d_cap=d_cap)
+    residual_single, res_jac_single = make_residual_and_jac(
+        qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
+        ridge=ridge, dx_ref=dx_ref, dtype=f32)
 
     res_b = jax.vmap(residual_single, in_axes=(0, 0, 0))
-
-    nth = w.LAMBDA.shape[1]
-    nz = N * m + nth
-    Eks_np = np.zeros((N, m, nz), np.float32)
-    for k in range(N):
-        Eks_np[k, :, k * m : (k + 1) * m] = np.eye(m)
-    Eks_d = jnp.asarray(Eks_np)
-    Tsel = np.zeros((nth, nz), np.float32)
-    Tsel[:, N * m :] = np.eye(nth)
-    LAM_T = jnp.asarray(np.asarray(w.LAMBDA, np.float32) @ Tsel)  # (n, nz)
-    PSI_T = jnp.asarray(np.asarray(w.PSI, np.float32) @ Tsel)     # (m, nz)
-
-    def res_jac_single(z, dx0, window):
-        """Residual AND Gauss-Newton Jacobian in one sensitivity scan."""
-        cs = z[: N * m].reshape(N, m)
-        theta = z[N * m :]
-        S0 = jnp.zeros((n, nz), z.dtype)
-
-        def step(carry, inp):
-            x, S = carry
-            c, Ek = inp
-            if family == "fmincon":
-                u = Ksd @ x + c
-                dudz = Ksd @ S + Ek
-            else:
-                u = c
-                dudz = Ek
-            gv, Jg = nw_estimate_and_jac(make_xi(x, u), window,
-                                         bandwidth, ridge)
-            dxidz = jnp.concatenate([S[:2], dudz], axis=0)  # xi = [x0, x1, u]
-            x1 = Ad @ x + Bd @ u + gv
-            S1 = Ad @ S + Bd @ dudz + Jg @ dxidz
-            return (x1, S1), (x, u, S, dudz)
-
-        (xN, SN), (xs, us, Ss, dudzs) = jax.lax.scan(step, (dx0, S0),
-                                                     (cs, Eks_d))
-        xa = LAM @ theta
-        ua = PSI @ theta
-        if family == "fmincon":
-            rx = (xs[: N - 2] - xa) @ Lq.T
-            ru = (us[: N - 2] - ua) @ Lr.T
-            Jrx = jnp.einsum("ij,kjz->kiz", Lq, Ss[: N - 2] - LAM_T[None])
-            Jru = jnp.einsum("ij,kjz->kiz", Lr, dudzs[: N - 2] - PSI_T[None])
-        else:
-            rx = sq_delta * ((xs - xa) @ Lq.T)
-            ru = sq_delta * ((us - ua) @ Lr.T)
-            Jrx = sq_delta * jnp.einsum("ij,kjz->kiz", Lq, Ss - LAM_T[None])
-            Jru = sq_delta * jnp.einsum("ij,kjz->kiz", Lr, dudzs - PSI_T[None])
-        rP = Lp @ (xN - xa)
-        rT = w.sqrtT * (xa - xs_ref)
-        JrP = Lp @ (SN - LAM_T)
-        JrT = w.sqrtT * LAM_T
-        e = jnp.concatenate([rx.ravel(), ru.ravel(), rP, rT])
-        J = jnp.concatenate([Jrx.reshape(-1, nz), Jru.reshape(-1, nz),
-                             JrP, JrT], axis=0)
-        return e, J
-
     if jac_mode == "manual":
         resjac_b = jax.vmap(res_jac_single, in_axes=(0, 0, 0))
     else:

@@ -39,7 +39,8 @@ class FusedBatchSolution(NamedTuple):
 
 def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
                           tile: int = 512, interpret: bool = False,
-                          refine: bool = False, scale: bool = True):
+                          refine: bool = False, scale: bool = True,
+                          d_cap: float = 1e6):
     """Returns solve(g (B, nz), h (B, mI)) -> FusedBatchSolution (H, G shared),
     plus a per-problem-Hessian variant solve.solve_with_H(H_b (B, nz, nz), g, h)
     for SQP subproblems whose Gauss-Newton Hessians differ per scenario.
@@ -56,10 +57,19 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
     scale: symmetric Jacobi equilibration of every KKT normal matrix before
     the Pallas Cholesky (solve (Dm M Dm) u = Dm r, dx = Dm u with
     Dm = diag(rsqrt(diag M))). The f32 breakdown of the IPM normal matrix is
-    dominated by diagonal dynamic range — d = z/s spans [~0, 1e7] across
+    dominated by diagonal dynamic range — d = z/s spans [~0, d_cap] across
     constraints — and equilibration gives unit diagonal with |M_ij| <= 1
     (Cauchy-Schwarz for SPD), restoring most of the lost digits for the cost
-    of two elementwise (B, nz, nz) multiplies per iteration. Default on."""
+    of two elementwise (B, nz, nz) multiplies per iteration. Default on.
+
+    d_cap: cap on the active-constraint weights d = z/s. On-chip sweep at the
+    bench operating point (scripts/sweep_fused_conv.py, batch 2048): 1e6 ->
+    99.3% converged with worst-lane c0 disagreement 1.1e-2 vs the vmapped
+    backend; 1e7 -> 98.1% with catastrophic 0.20 outliers; 1e8 -> 94.4%.
+    The mu-stalls were conditioning-driven: cond(M) ~ d_cap * ||G||^2 must
+    stay inside f32's ~2e7 after equilibration, and the EXACT solution of the
+    harder-capped system is itself a poor direction (which is why f64
+    iterative refinement measured net-neutral at 1e7)."""
     nz = G.shape[1]
     mI = G.shape[0]
     H32 = jnp.asarray(H, jnp.float32) if H is not None else None
@@ -153,7 +163,7 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
             rd = Hx(x) + g + z @ G32
             rp = x @ G32.T + s - h
             s_safe = jnp.maximum(s, 1e-25)
-            d = jnp.minimum(z / s_safe, 1e7)
+            d = jnp.minimum(z / s_safe, d_cap)
             M_flat = d @ W + Hflat_b + 1e-6 * eye_flat[None, :]
             M = M_flat.reshape(B, nz, nz)
             if scale:

@@ -69,7 +69,17 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
         x_min=p.x_min, x_max=p.x_max, u_min=p.u_min, u_max=p.u_max,
         x_wp=p.x_wp, u_wp=p.u_wp,
     )
-    if cfg.ocp.tighten_first_step:
+    if getattr(cfg.ocp, "robust_tube", False):
+        from lbmpc_tpu.sets.terminal import get_cons_robust_ks
+
+        cs = get_cons_robust_ks(
+            **common,
+            state_uncert=(p.tube_uncert if getattr(p, "tube_uncert", None)
+                          else p.state_uncert),
+            A=A, B=B, Ks=ocp.Ks,
+            LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+        )
+    elif cfg.ocp.tighten_first_step:
         cs = get_cons_poly(
             **common, state_uncert=p.state_uncert,
             A=A, B=B, Q=ocp.Q, R=ocp.R,

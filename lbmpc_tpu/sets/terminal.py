@@ -189,3 +189,77 @@ def get_cons_poly(
         .min_hrep()
     )
     return ConstraintSet(F_x, h_x, F_u, h_u, term.F, term.h, F_x_d, h_x_d)
+
+
+def get_cons_robust_ks(
+    x_min, x_max, u_min, u_max, state_uncert, x_wp, u_wp,
+    A, B, Ks, LAMBDA, PSI, LAMBDA_0, PSI_0,
+    lam: float = 0.99,
+    eps: float = 1e-4,
+    cache: bool = True,
+) -> ConstraintSet:
+    """Ks-consistent tube constraint factory (ROADMAP robustness item 10).
+
+    The reference's robust factory (getCONSPOLY.m:38-69) builds its terminal
+    machinery around K_t = -dlqr(A, B, Q, 10R) while the rollouts apply the
+    pole-placement prestabilizer Ks; on the 2-state Moore-Greitzer reduction
+    that mismatch leaves the "robust" terminal set non-contractive and the
+    closed loop limit-cycles (see config.py MG2 note). This factory is the
+    standard disturbance-invariant-tube construction (Mayne/Langson), built
+    around the SAME Ks the controller actually applies:
+
+      E      = mRPIS of e+ = (A + B Ks) e + w,  w in D (calc_mRPIS.m math);
+      X_tube = X ⊖ E,  U_tube = U ⊖ Ks E   (support-function tightening);
+      F_w_N  = MPIS of the extended autonomous system w+ = [A+B Ks, B(PSI -
+               Ks LAMBDA); 0, I] w inside the lam-contracted TIGHTENED stack.
+
+    The returned F_x/h_x, F_u/h_u are the TIGHTENED sets (tube semantics: the
+    nominal rollout satisfies them; the true state stays in X because every
+    realization lives in nominal ⊕ E). F_x_d/h_x_d mirror the tightened state
+    set for builders that use the one-step-tightening hook.
+    """
+    F_x, h_x, F_u, h_u = _boxes(x_min, x_max, u_min, u_max, x_wp, u_wp)
+    A = np.asarray(A, float)
+    B = np.asarray(B, float)
+    Ks = np.atleast_2d(np.asarray(Ks, float))
+    LAMBDA = np.atleast_2d(np.asarray(LAMBDA, float))
+    PSI = np.atleast_2d(np.asarray(PSI, float))
+    LAMBDA_0 = np.asarray(LAMBDA_0, float).reshape(LAMBDA.shape[0])
+    PSI_0 = np.asarray(PSI_0, float).reshape(PSI.shape[0])
+    n, m = B.shape
+
+    su = np.asarray(state_uncert, float).ravel()
+    F_d = np.vstack([np.eye(n), -np.eye(n)])
+    h_d = np.concatenate([su, su])
+
+    key = _cache_key(F_x, h_x, F_u, h_u, A, B, Ks, LAMBDA, PSI, LAMBDA_0,
+                     PSI_0, su, [lam, eps])
+    cache_file = CACHE_DIR / f"tube_{key}.npz"
+    if cache and cache_file.exists():
+        d = np.load(cache_file)
+        return ConstraintSet(F_x, d["h_x_t"], F_u, d["h_u_t"], d["F"], d["h"],
+                             F_x_d=F_x, h_x_d=d["h_x_t"])
+
+    from lbmpc_tpu.sets.invariant import calc_mrpis
+
+    Ak = A + B @ Ks
+    E = calc_mrpis(Ak, F_d, h_d, eps).min_hrep()
+    # support-function tightening: h_i - h_E(f_i) (state), h_i - h_E(Ks' f_i)
+    h_x_t = h_x - np.array([E.support(F_x[i]) for i in range(len(h_x))])
+    h_u_t = h_u - np.array([E.support(Ks.T @ F_u[i]) for i in range(len(h_u))])
+    if (h_x_t <= 0).any() or (h_u_t <= 0).any():
+        raise ValueError(
+            "tube cross-section exhausts the state/input budget: "
+            f"min state margin {h_x_t.min():.3g}, input {h_u_t.min():.3g}")
+
+    F_w, h_w = _extended_stack(F_x, h_x_t, F_u, h_u_t, Ks, LAMBDA, PSI,
+                               LAMBDA_0, PSI_0, lam)
+    L = PSI - Ks @ LAMBDA
+    Aw = np.block([[Ak, B @ L],
+                   [np.zeros((LAMBDA.shape[1], n)), np.eye(LAMBDA.shape[1])]])
+    mpis = compute_mpis(Polytope(F_w, h_w), Aw).min_hrep()
+    if cache:
+        CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        np.savez(cache_file, F=mpis.F, h=mpis.h, h_x_t=h_x_t, h_u_t=h_u_t)
+    return ConstraintSet(F_x, h_x_t, F_u, h_u_t, mpis.F, mpis.h,
+                         F_x_d=F_x, h_x_d=h_x_t)

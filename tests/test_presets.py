@@ -83,3 +83,47 @@ def test_mg2_dlti_matches_nonlinear_step():
                   substeps=4, ode=mg2_ode)
     lin = Ad @ dx + (Bd * du).ravel()
     assert np.abs((np.asarray(x1) - MG2_EQ_X) - lin).max() < 5e-6
+
+
+def test_mg2_robust_tube_preset():
+    """Ks-consistent tube variant (ROADMAP item 10): set construction is
+    contractive and the disturbed closed loop converges inside the box.
+
+    The reference's K_t-based robust layout limit-cycles on this plant (see
+    config.py note); the tube variant must (a) produce strictly positive
+    tightening margins, (b) a nonempty Ks-consistent terminal set, and
+    (c) drive the true nonlinear plant to the operating point."""
+    import numpy as np
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.runtime.scenario import build_scenario
+    from lbmpc_tpu.sets.polytope import Polytope
+
+    cfg = make_preset("MG2_LBMPC_N20_robust")
+    sc = build_scenario(cfg)
+    # (a) margins: tightened rhs strictly inside the raw box rhs
+    raw = make_preset("MG2_LBMPC_N20")
+    sc0 = build_scenario(raw)
+    assert (sc.cs.h_x < sc0.cs.h_x).all()
+    assert (sc.cs.h_u < sc0.cs.h_u).all()
+    assert (sc.cs.h_x > 0).all() and (sc.cs.h_u > 0).all()
+    # (b) terminal set nonempty and invariant one step under the Ks loop
+    term = Polytope(sc.cs.F_w_N, sc.cs.h_w_N)
+    c, r = term.chebyshev_center()
+    assert r > 1e-6
+    Ks = np.atleast_2d(sc.ocp.Ks)
+    L = np.atleast_2d(sc.ocp.PSI) - Ks @ np.atleast_2d(sc.ocp.LAMBDA)
+    n = sc.A.shape[0]
+    Aw = np.block([[sc.A + sc.B @ Ks, sc.B @ L],
+                   [np.zeros((L.shape[1] if L.ndim > 1 else 1, n)).reshape(-1, n),
+                    np.eye(np.atleast_2d(sc.ocp.LAMBDA).shape[1])]])
+    # invariance via support LPs: for every row f of F, h_term(Aw' f) <= h
+    for i in range(len(sc.cs.h_w_N)):
+        assert term.support(Aw.T @ sc.cs.F_w_N[i]) <= sc.cs.h_w_N[i] + 1e-7
+    # (c) closed loop on the true nonlinear plant
+    res = sc.run()
+    h = np.asarray(res.sys_history)
+    assert np.isfinite(h).all()
+    assert float(np.mean(np.asarray(res.solver_converged))) > 0.99
+    assert np.linalg.norm(h[-1, :2]) < 0.02
+    assert np.abs(h[:, 0]).max() <= 0.5 + 0.02 + 1e-6
