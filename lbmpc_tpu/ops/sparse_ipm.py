@@ -143,6 +143,11 @@ def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float,
     nth = qp.LAM.shape[1]
     dtype = x0.dtype
     m_total = float(N * qp.h_x.shape[0] + N * qp.h_u.shape[0] + qp.h_w.shape[0])
+    # dtype-aware guards, mirroring ops/ipm.py:130-133 — the f64 constants
+    # underflow to 0 in f32 and poison D = z/s with inf/nan
+    tiny = float(jnp.finfo(dtype).tiny) * 1e8
+    d_cap = 1e30 if dtype == jnp.float64 else 1e7
+    tol_eff = 30.0 * float(jnp.finfo(dtype).eps)
 
     # Initial iterate MUST satisfy the dynamics: Newton directions are
     # homogeneous in the linearized dynamics (dx_0 = 0), so any dynamics
@@ -191,14 +196,14 @@ def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float,
         return gX, gU, gth
 
     def body(it, state):
-        X, U, th, sx, su, sw, zx, zu, zw = state
+        X, U, th, sx, su, sw, zx, zu, zw, frozen = state
         gx, gu, gw = ineq(X, U, th)
-        sx_s = jnp.maximum(sx, _EPS)
-        su_s = jnp.maximum(su, _EPS)
-        sw_s = jnp.maximum(sw, _EPS)
-        Dx = zx / sx_s
-        Du = zu / su_s
-        Dw = zw / sw_s
+        sx_s = jnp.maximum(sx, tiny)
+        su_s = jnp.maximum(su, tiny)
+        sw_s = jnp.maximum(sw, tiny)
+        Dx = jnp.minimum(zx / sx_s, d_cap)
+        Du = jnp.minimum(zu / su_s, d_cap)
+        Dw = jnp.minimum(zw / sw_s, d_cap)
         mu = (jnp.sum(sx * zx) + jnp.sum(su * zu) + jnp.sum(sw * zw)) / m_total
 
         gX, gU, gth = grads(X, U, th)
@@ -286,7 +291,7 @@ def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float,
             + jnp.sum((su + ap * dsua) * (zu + ad * dzua))
             + jnp.sum((sw + ap * dswa) * (zw + ad * dzwa))
         ) / m_total
-        sigma = (mu_aff / jnp.maximum(mu, _EPS)) ** 3
+        sigma = (mu_aff / jnp.maximum(mu, tiny)) ** 3
         # corrector
         dX, dU, dth, dsx, dsu, dsw, dzx, dzu, dzw = newton(
             sx * zx + dsxa * dzxa - sigma * mu,
@@ -295,19 +300,30 @@ def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float,
         )
         ap = steplen([(sx.ravel(), dsx.ravel()), (su.ravel(), dsu.ravel()), (sw, dsw)], tau)
         ad = steplen([(zx.ravel(), dzx.ravel()), (zu.ravel(), dzu.ravel()), (zw, dzw)], tau)
+        # freeze once converged (ops/ipm.py:196-199): keeps mu from driving
+        # s,z into denormals — in f32 that turns the next D = z/s into nan
+        viol = jnp.maximum(jnp.max(gx), jnp.maximum(jnp.max(gu), jnp.max(gw)))
+        done = jnp.logical_and(mu < tol_eff, viol < tol_eff)
+        frozen_new = jnp.logical_or(frozen, done)
+        keep = lambda new, old: jnp.where(frozen, old, new)
         return (
-            X + ap * dX, U + ap * dU, th + ap * dth,
-            sx + ap * dsx, su + ap * dsu, sw + ap * dsw,
-            zx + ad * dzx, zu + ad * dzu, zw + ad * dzw,
+            keep(X + ap * dX, X), keep(U + ap * dU, U), keep(th + ap * dth, th),
+            keep(sx + ap * dsx, sx), keep(su + ap * dsu, su), keep(sw + ap * dsw, sw),
+            keep(zx + ad * dzx, zx), keep(zu + ad * dzu, zu), keep(zw + ad * dzw, zw),
+            frozen_new,
         )
 
-    state = (X, U, th, sx, su, sw, zx, zu, zw)
+    state = (X, U, th, sx, su, sw, zx, zu, zw, jnp.asarray(False))
     state = jax.lax.fori_loop(0, iters, body, state)
-    X, U, th, sx, su, sw, zx, zu, zw = state
+    X, U, th, sx, su, sw, zx, zu, zw, _frozen = state
     mu = (jnp.sum(sx * zx) + jnp.sum(su * zu) + jnp.sum(sw * zw)) / m_total
     gx, gu, gw = ineq(X, U, th)
     viol = jnp.maximum(jnp.max(gx), jnp.maximum(jnp.max(gu), jnp.max(gw)))
+    # dtype-aware convergence grade, matching ops/ipm.py:207 — f32 Riccati
+    # sweeps bottom out around mu~1e-5; 2e-4 is the active-set-exact grade
+    # validated for the dense backend.
+    conv_tol = 1e-7 if X.dtype == jnp.float64 else 2e-4
     return SparseIPMSolution(
         X=X, U=U, theta=th, mu=mu, max_violation=viol,
-        converged=jnp.logical_and(mu < 1e-7, viol < 1e-7),
+        converged=jnp.logical_and(mu < conv_tol, viol < conv_tol),
     )

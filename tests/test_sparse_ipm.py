@@ -83,3 +83,25 @@ def test_sparse_dynamics_consistency(problem):
     for k in range(N):
         np.testing.assert_allclose(X[k + 1], A @ X[k] + B @ U[k], atol=1e-10)
     np.testing.assert_allclose(X[0], np.asarray(dx0))
+
+
+def test_sparse_float32_converges(problem):
+    """f32 throughput grade (TPU path): the dtype-aware guards (tiny floor,
+    d-cap, converged-freeze — ops/sparse_ipm.py body) must keep the f32 solve
+    nan-free and active-set-exact vs f64 to ~1e-4."""
+    A, B, ocp, cs = problem
+    for N in (20, 100):
+        sqp = make_stage_qp(A, B, ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA,
+                            ocp.PSI, cs, N, delta=TS)
+        s32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, sqp)
+        dx0 = jnp.asarray([-0.35, -0.4, 0.0, 0.0])
+        ref = solve_sparse(sqp, dx0, iters=25)
+        with jax.default_matmul_precision("highest"):
+            sol = solve_sparse(s32, dx0.astype(jnp.float32), iters=25)
+        assert bool(sol.converged), (float(sol.mu), float(sol.max_violation))
+        assert np.isfinite(np.asarray(sol.U)).all()
+        np.testing.assert_allclose(np.asarray(sol.U[0]), np.asarray(ref.U[0]),
+                                   atol=2e-4)
