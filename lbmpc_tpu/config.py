@@ -95,6 +95,12 @@ class SolverConfig:
     # — f32 device speed with <1e-5 solution error (ROADMAP perf item 3)
     dtype: Literal["float32", "float64", "mixed"] = "float64"
     plant_integrator: Literal["rk4", "rk23", "rk4_fine"] = "rk23"
+    # QP backend for the LMPC path. "condensed" (default) eliminates states
+    # up front — best at short horizons. "sparse" keeps the stage form and
+    # factors each Newton system by a Riccati sweep (ops/sparse_ipm) — wins
+    # for long horizons; "sparse_parallel" uses the associative-scan Riccati
+    # (O(log N) depth). Casadi-family tracking semantics only.
+    qp_backend: Literal["condensed", "sparse", "sparse_parallel"] = "condensed"
 
 
 @dataclasses.dataclass(frozen=True)

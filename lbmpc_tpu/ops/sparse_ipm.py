@@ -131,8 +131,12 @@ def solve_sparse(qp: StageQP, x0: jax.Array, iters: int = 25, tau: float = 0.995
     """Mehrotra predictor-corrector on the stage form (see module docstring).
 
     parallel=True uses the associative-scan Riccati (O(log N) depth per KKT
-    solve) — identical math, horizon-parallel execution."""
-    return _solve_sparse(qp, x0, qp.N, iters, tau, parallel)
+    solve) — identical math, horizon-parallel execution.
+
+    HIGHEST matmul precision for the same reason as ops/ipm.py:72-77: the
+    TPU's default bf16-pass f32 matmuls stall the IPM around 1e-3."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_sparse(qp, x0, qp.N, iters, tau, parallel)
 
 
 @functools.partial(jax.jit, static_argnames=("N", "iters", "parallel"))

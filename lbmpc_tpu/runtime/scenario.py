@@ -119,12 +119,39 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
         warm = make_casadi_warm_start(qp, A, B, ocp.Ks)
 
     if cfg.controller == "lmpc":
-        lin_solve = make_lmpc_solver(qp, ipm_iters=iters_ipm, dtype=dtype,
-                                     mixed=mixed)
+        qp_backend = getattr(cfg.solver, "qp_backend", "condensed")
+        if qp_backend.startswith("sparse"):
+            # Stage-form Riccati IPM (long-horizon path, ROADMAP perf item 4).
+            # make_stage_qp encodes the casadi-family tracking OCP with the
+            # terminal set at k=N and no first-step tightening.
+            if (cfg.family != "casadi" or cfg.ocp.terminal_at != "last"
+                    or cfg.ocp.tighten_first_step):
+                raise ValueError(
+                    "sparse QP backend supports casadi-family tracking LMPC "
+                    "(terminal_at='last', tighten_first_step=False)")
+            from lbmpc_tpu.ops.sparse_ipm import make_stage_qp, solve_sparse
 
-        def solve(dx, window, z_ws):
-            z, sol = lin_solve(dx)
-            return z, sol.converged
+            stage_qp = make_stage_qp(A, B, ocp.Q, ocp.R, ocp.P, ocp.T,
+                                     ocp.LAMBDA, ocp.PSI, cs, N, delta=p.ts)
+            if dtype == jnp.float32:
+                stage_qp = jax.tree.map(
+                    lambda x: x.astype(dtype)
+                    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                    else x, stage_qp)
+            par = qp_backend == "sparse_parallel"
+
+            def solve(dx, window, z_ws):
+                sol = solve_sparse(stage_qp, dx.astype(dtype),
+                                   iters=iters_ipm, parallel=par)
+                z = jnp.concatenate([sol.U.ravel(), sol.theta])
+                return z, sol.converged
+        else:
+            lin_solve = make_lmpc_solver(qp, ipm_iters=iters_ipm, dtype=dtype,
+                                         mixed=mixed)
+
+            def solve(dx, window, z_ws):
+                z, sol = lin_solve(dx)
+                return z, sol.converged
 
         learn = False
     elif cfg.controller == "lbmpc":

@@ -105,3 +105,25 @@ def test_sparse_float32_converges(problem):
         assert np.isfinite(np.asarray(sol.U)).all()
         np.testing.assert_allclose(np.asarray(sol.U[0]), np.asarray(ref.U[0]),
                                    atol=2e-4)
+
+
+def test_scenario_sparse_backend_matches_condensed():
+    """qp_backend="sparse"/"sparse_parallel" (config.SolverConfig) runs the
+    casadi-family tracking LMPC closed loop on the stage-form Riccati IPM and
+    must reproduce the condensed-backend episode."""
+    import dataclasses
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.runtime.scenario import build_scenario
+
+    cfg = make_preset("DMS_LMPC")
+    cfg = dataclasses.replace(cfg, ocp=dataclasses.replace(cfg.ocp, N=30),
+                              iterations=40)
+    ref = build_scenario(cfg).run()
+    for backend in ("sparse", "sparse_parallel"):
+        cfg_s = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, qp_backend=backend))
+        sp = build_scenario(cfg_s).run()
+        assert float(np.mean(np.asarray(sp.solver_converged))) == 1.0
+        np.testing.assert_allclose(
+            np.asarray(sp.sys_history), np.asarray(ref.sys_history), atol=1e-6)
