@@ -63,6 +63,18 @@ def main():
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=3, ipm_iters=20,
     )
+    # Reduced-iteration fused config: on-chip A/B (scripts/sweep_fused_conv.py,
+    # 2026-08) shows 2 GN x 16 IPM iterations lands in the SAME error
+    # distribution vs the vmapped reference as 3x20 (p50 8.1e-3 / max 1.1e-2
+    # in c0 — the documented fused-vs-vmapped class) with BETTER convergence
+    # (99.4% vs 99.3%); closed-loop accuracy of reduced-iteration fused
+    # episodes vs f64 is covered by
+    # tests/test_runtime.py::test_batched_fused_episode_matches_f64_episodes.
+    fused_fast_solve = make_lbmpc_solver_fused(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
+    )
     hybrid_solve = make_lbmpc_solver_hybrid(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
@@ -114,10 +126,12 @@ def main():
     backends = {
         "vmapped_sqp": jax.vmap(sc.solve),
         "fused_sqp": fused_solve,
+        "fused_sqp_s2i16": fused_fast_solve,
         "hybrid_sqp": hybrid_solve,
     }
     best = None
     for name, batch, R in (("vmapped_sqp", 8192, 8), ("fused_sqp", 2048, 32),
+                           ("fused_sqp_s2i16", 2048, 32),
                            ("hybrid_sqp", 2048, 32)):
         dx, windows, z0 = batch_inputs(batch, R)
         run = make_scan(backends[name], R)

@@ -2,8 +2,10 @@
 
 For each config: convergence fraction, timing at the bench operating point,
 and err vs the on-chip vmapped f32 reference. ROADMAP perf item 1."""
-import dataclasses, json, sys, time
+import dataclasses, json, pathlib, sys, time
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 def main():
     import jax
@@ -54,6 +56,14 @@ def main():
         "noscale":        dict(sqp_iters=3, ipm_iters=20, scale=False),
         "s4_i30":         dict(sqp_iters=4, ipm_iters=30),
     }
+    import os
+    if os.environ.get("CONFIGS"):
+        # e.g. CONFIGS="s3_i16:3,16;s3_i14:3,14;s2_i16:2,16"
+        configs = {}
+        for part in os.environ["CONFIGS"].split(";"):
+            nm, it = part.split(":")
+            s_, i_ = (int(v) for v in it.split(","))
+            configs[nm] = dict(sqp_iters=s_, ipm_iters=i_)
     for name, kw in configs.items():
         solver = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w, **base, **kw)
         z, conv = solver(dx, wins, z0)

@@ -180,7 +180,11 @@ def test_fleet_runner_chunked_matches_direct():
 
 def test_batched_fused_episode_matches_f64_episodes():
     """run_closed_loop_batched + fused SQP backend: whole-cohort episode scan
-    reproduces the per-scenario f64 episodes (tiny config, interpret kernels)."""
+    reproduces the per-scenario f64 episodes (tiny config, interpret kernels).
+
+    sqp_iters=2, ipm_iters in the bench.py fused_sqp_s2i16 class — this is
+    the closed-loop accuracy evidence backing the reduced-iteration headline
+    candidate."""
     import dataclasses
 
     import numpy as np
@@ -194,7 +198,7 @@ def test_batched_fused_episode_matches_f64_episodes():
     cfg = dataclasses.replace(
         cfg,
         ocp=dataclasses.replace(cfg.ocp, N=8),
-        solver=dataclasses.replace(cfg.solver, dtype="float32", sqp_iters=2, ipm_iters=12),
+        solver=dataclasses.replace(cfg.solver, dtype="float32", sqp_iters=2, ipm_iters=16),
         oracle=dataclasses.replace(cfg.oracle, q=8),
     )
     sc, run = build_fleet_episode(cfg)
