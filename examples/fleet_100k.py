@@ -31,6 +31,9 @@ def main():
                          "(runtime/sharding.estimate_fleet_budget)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--N", type=int, default=20)
+    ap.add_argument("--ipm-iters", type=int, default=16,
+                    help="IPM iterations per GN step (16 = the validated "
+                         "bench fused_sqp_s2i16 budget)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--multihost", action="store_true")
     ap.add_argument("--fused", action="store_true",
@@ -65,7 +68,8 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         ocp=dataclasses.replace(cfg.ocp, N=args.N),
-        solver=dataclasses.replace(cfg.solver, dtype="float32", sqp_iters=2),
+        solver=dataclasses.replace(cfg.solver, dtype="float32", sqp_iters=2,
+                                   ipm_iters=args.ipm_iters),
         oracle=dataclasses.replace(cfg.oracle, q=32),
     )
     sc = build_scenario(cfg)
