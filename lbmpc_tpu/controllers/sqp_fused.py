@@ -169,6 +169,8 @@ def make_lbmpc_solver_hybrid(
     scale: bool = True,
     repair_frac: float = 1.0 / 16.0,
     repair_ipm_iters: int = 30,
+    repair_sqp_iters: int | None = None,
+    repair_warm: str = "ws",
 ):
     """Fused batch SQP + fixed-shape vmapped repair of flagged lanes.
 
@@ -177,10 +179,17 @@ def make_lbmpc_solver_hybrid(
     This wrapper re-solves the worst K = ceil(B * repair_frac) lanes with the
     vmapped f32 SQP (controllers/lbmpc.py) *inside the same jit*: top_k over
     the flagged mask gathers a fixed-size sub-batch (shape-static, so the
-    whole thing stays one traced program), the vmapped path solves it from the
-    original warm start, and results scatter back only where a lane was
-    actually flagged. If more than K lanes are flagged the extras keep their
-    fused result (and stay flagged). Repair cost ~ repair_frac * vmapped cost.
+    whole thing stays one traced program), the vmapped path solves it, and
+    results scatter back only where a lane was actually flagged. If more than
+    K lanes are flagged the extras keep their fused result (and stay
+    flagged). Repair cost ~ repair_frac * vmapped cost.
+
+    repair_warm="fused" seeds the repair at the fused iterate instead of the
+    original warm start: flagged lanes are mu-stalls whose z is typically
+    already near the optimum (see make_lbmpc_solver_fused docstring), so a
+    reduced repair budget (repair_sqp_iters=1-2) then suffices — the
+    headline-bench configuration (scripts/sweep_repair.py measured the
+    cost/convergence frontier).
 
     Returns solve_batch(dx0, windows, z_ws) -> (z, converged) like the fused
     factory, plus .raw for embedding in an outer jitted scan.
@@ -193,7 +202,8 @@ def make_lbmpc_solver_hybrid(
         tile=tile, rho=rho, interpret=interpret, scale=scale)
     vm = make_lbmpc_solver(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
-        ridge=ridge, dx_ref=dx_ref, sqp_iters=sqp_iters,
+        ridge=ridge, dx_ref=dx_ref,
+        sqp_iters=repair_sqp_iters or sqp_iters,
         ipm_iters=repair_ipm_iters, dtype=jnp.float32)
     vm_b = jax.vmap(vm, in_axes=(0, 0, 0))
     f32 = jnp.float32
@@ -210,7 +220,11 @@ def make_lbmpc_solver_hybrid(
         _, idx = jax.lax.top_k(flagged.astype(f32), K)
         take = flagged[idx]
         sub_w = jax.tree.map(lambda a: a[idx], windows)
-        z_r, conv_r = vm_b(dx0[idx], sub_w, z_ws[idx])
+        if repair_warm == "fused":
+            z_seed = jnp.where(jnp.isfinite(z[idx]), z[idx], z_ws[idx])
+        else:
+            z_seed = z_ws[idx]
+        z_r, conv_r = vm_b(dx0[idx], sub_w, z_seed)
         z_r = jnp.where(jnp.isfinite(z_r), z_r, 0.0)
         z = z.at[idx].set(jnp.where(take[:, None], z_r, z[idx]))
         conv = conv.at[idx].set(jnp.where(take, conv_r, conv[idx]))

@@ -151,7 +151,13 @@ def _solve_sparse(qp: StageQP, x0: jax.Array, N: int, iters: int, tau: float,
     # underflow to 0 in f32 and poison D = z/s with inf/nan
     tiny = float(jnp.finfo(dtype).tiny) * 1e8
     d_cap = 1e30 if dtype == jnp.float64 else 1e7
-    tol_eff = 30.0 * float(jnp.finfo(dtype).eps)
+    # converged-freeze threshold. f64: 30*eps ~ 6.7e-15, reachable. f32 mu
+    # bottoms out around 1e-5 (Riccati-sweep roundoff), so 30*eps ~ 3.6e-6
+    # would never fire — freeze at that measured floor instead, so the guard
+    # actually engages once refinement is exhausted but not before the
+    # solution reaches the 2e-4 active-set-exact grade (ADVICE r1; freezing
+    # at 2e-4 itself was measured to cost 2.4e-4 solution error).
+    tol_eff = 30.0 * float(jnp.finfo(dtype).eps) if dtype == jnp.float64 else 1e-5
 
     # Initial iterate MUST satisfy the dynamics: Newton directions are
     # homogeneous in the linearized dynamics (dx_0 = 0), so any dynamics

@@ -60,6 +60,19 @@ class Scenario:
 
 def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     cfg = name_or_cfg if isinstance(name_or_cfg, ScenarioConfig) else make_preset(name_or_cfg)
+    qp_backend = getattr(cfg.solver, "qp_backend", "condensed")
+    if qp_backend != "condensed":
+        # sparse backends currently serve the LMPC QP only; reject silently-
+        # ignored configurations instead of running condensed anyway (ADVICE r1)
+        if cfg.controller != "lmpc":
+            raise ValueError(
+                f"qp_backend={qp_backend!r} supports controller='lmpc' only "
+                f"(got {cfg.controller!r}); LBMPC/NMPC SQP subproblems use "
+                "the condensed path")
+        if cfg.solver.dtype == "mixed":
+            raise ValueError(
+                "dtype='mixed' (f32 IPM + f64 refinement) is a condensed-path "
+                "feature; use dtype='float32' or 'float64' with sparse backends")
     p = cfg.plant
     mg2 = getattr(p, "model", "mgcm4") == "mg2"
     plant_ode = mg2_ode if mg2 else None  # None -> integrators default to mgcm_ode
@@ -119,7 +132,6 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
         warm = make_casadi_warm_start(qp, A, B, ocp.Ks)
 
     if cfg.controller == "lmpc":
-        qp_backend = getattr(cfg.solver, "qp_backend", "condensed")
         if qp_backend.startswith("sparse"):
             # Stage-form Riccati IPM (long-horizon path, ROADMAP perf item 4).
             # make_stage_qp encodes the casadi-family tracking OCP with the

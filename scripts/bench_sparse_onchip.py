@@ -81,12 +81,12 @@ def main():
         qpc = build_casadi_dms(A, B, ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA,
                                ocp.PSI, cs, N, delta=TS, terminal_at="last",
                                tighten_first_step=False)
-        Hc = jnp.asarray(qpc.H, jnp.float32)
+        Hc = jnp.asarray(qpc.H, dt)
 
         def cond_solve(x0, qpc=qpc, Hc=Hc):
-            g = jnp.asarray(qpc.g0, jnp.float32) + jnp.asarray(qpc.Gg, jnp.float32) @ x0
-            h = jnp.asarray(qpc.h0, jnp.float32) + jnp.asarray(qpc.Hp, jnp.float32) @ x0
-            sol = solve_qp(Hc, g, jnp.asarray(qpc.G, jnp.float32), h, iters=iters)
+            g = jnp.asarray(qpc.g0, dt) + jnp.asarray(qpc.Gg, dt) @ x0
+            h = jnp.asarray(qpc.h0, dt) + jnp.asarray(qpc.Hp, dt) @ x0
+            sol = solve_qp(Hc, g, jnp.asarray(qpc.G, dt), h, iters=iters)
             return sol.z[0], sol.converged
 
         def sparse_solve(x0, par=False, sqp=sqp):
@@ -102,7 +102,7 @@ def main():
         for batch, R in specs:
             x0s = jnp.asarray(
                 np.array([-0.35, -0.4, 0.0, 0.0]) +
-                0.01 * rng.standard_normal((R, batch, 4)), jnp.float32)
+                0.01 * rng.standard_normal((R, batch, 4)), dt)
             for tag, fn in paths.items():
                 if only and tag not in only.split(","):
                     continue

@@ -1,0 +1,198 @@
+"""Horizon-sweep + N=100-flagship parity: consume every extracted golden.
+
+The reference's central empirical study is the horizon sweep
+(saved_data+plots/horizonsLBMPC.m:4-7, data/LBMPC_N{40,60,80}_sys_full.mat)
+and its flagship runs at N=100 (examples/DMS_LBMPC_casadi.m:81-87, goldens
+tLMPC.mat / tNMPC.mat / DMS_tLBMPC_q100.mat compared in
+saved_data+plots/compare.m:3-24). Round 1 parity generalized from N in
+{20,50}; this file runs every remaining golden fixture.
+
+Tolerance philosophy is the one documented in tests/test_parity.py: pointwise
+our solvers sit at the reference solvers' own noise floor (fmincon ~1e-6,
+IPOPT acceptable ~1e-4); closed loop, active-set switching transiently
+amplifies the per-step noise dominantly into the fast throttle-rate state x4,
+and trajectories re-converge after the transient. See also
+docs/NOISE_FLOOR.md for the measured closed-loop reproducibility floor.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lbmpc_tpu.config import make_preset
+from lbmpc_tpu.runtime.scenario import build_scenario
+
+RUN_SLOW = bool(os.environ.get("RUN_SLOW"))
+
+
+@pytest.mark.parametrize("N", [40, 60, 80])
+def test_lbmpc_horizon_sweep_closed_loop_parity(golden, N):
+    """LBMPC fmincon family across the reference's horizon sweep
+    (ref: saved_data+plots/horizonsLBMPC.m:4-7, data/LBMPC_N{40,60,80}).
+
+    Envelope tolerances: agreement is 1.6e-6 (N=40) before the step-~67
+    active-set transient, where the control law's derivative is
+    discontinuous and ANY solver perturbation is transiently amplified into
+    the fast throttle-rate state x4 (measured floor: our own +-1 SQP
+    iteration produces x4 spread 0.47-0.82 there — docs/NOISE_FLOOR.md).
+    Slow states track at <5e-4 throughout; the loop re-locks to <1e-3 after
+    step 150.
+    """
+    steps = 1000 if RUN_SLOW else 300
+    sc = build_scenario(make_preset(f"LBMPC_N{N}", iterations=steps))
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    sysH = np.asarray(res.sys_history).T
+    g = golden(f"LBMPC_N{N}")["sysH"]
+    err = np.abs(sysH[:, : steps + 1] - g[:, : steps + 1])
+    assert err[:2].max() < 5e-4   # slow states: tight throughout
+    assert err[2].max() < 1e-2
+    assert err[3].max() < 2.5     # x4 at the transient: noise-floor envelope
+    assert err[4].max() < 0.5
+    assert err[:, :55].max() < 2e-2      # pre-transient
+    assert err[:, 150:].max() < 1e-3     # re-convergence
+
+
+def test_lmpc_n40_pointwise_control_parity(golden):
+    """LMPC N=40 pointwise: every golden state -> our du vs golden du
+    (ref golden: data/LMPC_N40_sys_full.mat)."""
+    sc = build_scenario(make_preset("LMPC_N40"))
+    g = golden("LMPC_N40")["sysH"]
+    dxs = jnp.asarray(g[:4, :-1].T)
+    du_gold = g[4, 1:]
+    Ks = jnp.asarray(sc.ocp.Ks)
+
+    def du_of(dx):
+        z, conv = sc.solve(dx, None, None)
+        return (Ks @ dx + z[:1])[0], conv
+
+    du, conv = jax.vmap(du_of)(dxs)
+    err = np.abs(np.asarray(du) - du_gold)
+    assert bool(jnp.all(conv))
+    assert np.median(err) < 2e-6
+    assert err.max() < 5e-4
+    assert (err > 1e-4).sum() < 10
+
+
+def test_nmpc_n40_closed_loop_parity(golden):
+    """NMPC N=40 closed loop (ref golden: data/NMPC_N40_sys_full.mat)."""
+    steps = 200 if RUN_SLOW else 60
+    sc = build_scenario(make_preset("NMPC_N40", iterations=steps))
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    sysH = np.asarray(res.sys_history).T
+    g = golden("NMPC_N40")["sysH"]
+    err = np.abs(sysH[:, : steps + 1] - g[:, : steps + 1])
+    assert err[:3].max() < 1e-4   # slow states
+    assert err[3].max() < 5e-3    # throttle rate
+    assert err[4].max() < 1e-3    # input
+
+
+def test_dms_lbmpc_n100_flagship_closed_loop_parity(golden):
+    """THE flagship: DMS_LBMPC_q100 at its default N=100, full 500 steps vs
+    DMS_tLBMPC_q100 (ref: examples/DMS_LBMPC_casadi.m:81-87 N_t=1.0 => N=100,
+    mpciterations=500; golden data/casadi/DMS_tLBMPC_q100.mat xlo)."""
+    cfg = make_preset("DMS_LBMPC_q100", iterations=500)
+    assert cfg.ocp.N == 100  # the preset's own default — no override
+    sc = build_scenario(cfg)
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    ours_abs = np.asarray(res.sys_history)[1:501, :4] + x_wp  # x_0..x_499
+    g = golden("DMS_tLBMPC_q100")
+    err = np.abs(ours_abs.T - g)
+    assert err[0].max() < 1e-4
+    assert err[1].max() < 2e-4
+    assert err[2].max() < 1e-3
+    assert err[3].max() < 5e-2  # throttle-rate transient at solver-noise level
+
+
+def test_dms_lmpc_n100_600step_parity(golden):
+    """Tracking LMPC at N=100 over the full 600-step golden tLMPC (ref:
+    examples/DMS_tracking_LMPC_casadi.m run logged as data/casadi/tLMPC.mat,
+    overlaid against the flagship in saved_data+plots/compare.m:5)."""
+    steps = 600
+    cfg = make_preset("DMS_LMPC", iterations=steps)
+    cfg = dataclasses.replace(cfg, ocp=dataclasses.replace(cfg.ocp, N=100))
+    sc = build_scenario(cfg)
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    ours = np.asarray(res.sys_history)[:steps, :4] + x_wp
+    g = golden("tLMPC")
+    err = np.abs(ours.T - g[:, :steps])
+    assert err[0].max() < 1e-4
+    assert err[1].max() < 2e-4
+    assert err[2].max() < 1e-2
+    # steady state: everything re-converges after the transient
+    assert err[:, 400:].max() < 1e-3
+
+
+def test_nmpc_casadi_n100_600step_parity(golden):
+    """Tracking NMPC at N=100 vs the 600-step golden tNMPC (ref:
+    examples/DMS_tracking_NMPC_casadi.m:79-87 N_t=1.0 => N=100; golden
+    data/casadi/tNMPC.mat, compare.m:6)."""
+    steps = 600 if RUN_SLOW else 150
+    cfg = make_preset("NMPC_N50", iterations=steps)
+    cfg = dataclasses.replace(
+        cfg, family="casadi", ocp=dataclasses.replace(cfg.ocp, N=100)
+    )
+    sc = build_scenario(cfg)
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    ours = np.asarray(res.sys_history)[1 : steps + 1, :4] + x_wp
+    g = golden("tNMPC")
+    err = np.abs(ours.T - g[:, 1 : steps + 1])
+    assert err[0].max() < 1e-5
+    assert err[1].max() < 1e-5
+    assert err[2].max() < 1e-4
+    assert err[3].max() < 1e-2
+
+
+def test_noise_floor_transient_contraction():
+    """The measured noise-floor claim (docs/NOISE_FLOOR.md): perturbing our
+    own SQP budget by one iteration leaves the closed loop identical to 1e-6
+    before the active-set transient and re-contracts below 1e-3 after it —
+    transient divergence between converged solvers is the floor itself."""
+    runs = []
+    for sqp_iters in (4, 5):
+        cfg = make_preset("LBMPC_N40", iterations=200)
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, sqp_iters=sqp_iters))
+        res = build_scenario(cfg).run()
+        assert bool(res.solver_converged.all())
+        runs.append(np.asarray(res.sys_history).T)
+    spread = np.abs(runs[1] - runs[0])
+    assert spread[:, :55].max() < 1e-6      # identical up to the transient
+    assert spread[:, 150:].max() < 1e-3     # contraction re-locks the loop
+
+
+def test_solve_stats_reproduce_reference_baseline(golden):
+    """Our 5x500 solve-stats protocol run on the reference's OWN raw samples
+    must reproduce the published baseline table (BASELINE.md / SURVEY.md §6).
+
+    Consumes solve_sample_full.npy (tracking-NMPC on the AMD CPU) and
+    intelCPU_solve_sample_fullLMPC.npy (tracking-LMPC on the Intel CPU) —
+    ref: saved_data+plots/solve_stats.m:3,76 loading the same .mat files.
+    """
+    from lbmpc_tpu.analysis.solve_stats import SolveStats
+
+    nmpc = SolveStats.from_samples(golden("solve_sample_full"))
+    assert nmpc.n == 2500
+    assert abs(nmpc.mean_ms - 429.7) < 0.5
+    assert abs(nmpc.median_ms - 340.6) < 0.5
+    assert abs(nmpc.p99_ms - 777.3) < 0.5
+    assert abs(nmpc.max_ms - 908.0) < 1.0
+    lmpc = SolveStats.from_samples(golden("intelCPU_solve_sample_fullLMPC"))
+    assert abs(lmpc.mean_ms - 115.0) < 0.5
+    assert abs(lmpc.median_ms - 95.6) < 0.5
+    assert abs(lmpc.p99_ms - 228.0) < 0.5
+    # the reference misses its own 10 ms real-time budget by 10-40x
+    # (BASELINE.md) — both configs violate it
+    assert nmpc.violates_budget(10.0) and lmpc.violates_budget(10.0)
