@@ -58,11 +58,6 @@ def main():
     )
     w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
                           sc.ocp.LAMBDA, sc.ocp.PSI)
-    fused_solve = make_lbmpc_solver_fused(
-        qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
-        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
-        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=3, ipm_iters=20,
-    )
     # Reduced-iteration fused config: on-chip A/B (scripts/sweep_fused_conv.py,
     # 2026-08) shows 2 GN x 16 IPM iterations lands in the SAME error
     # distribution vs the vmapped reference as 3x20 (p50 8.1e-3 / max 1.1e-2
@@ -75,11 +70,19 @@ def main():
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
     )
+    # Headline backend (round 2): fused s2i16 + gather-compacted repair of
+    # the flagged mu-stall lanes — top_k gathers K=32 lanes, a 1-GN/10-IPM
+    # vmapped re-solve seeded at the fused iterate repairs them in-place.
+    # On-chip frontier (scripts/sweep_repair.py, 2026-08): conv 1.0 at
+    # 205-207k solves/s; deeper repair budgets only cost time (repair lanes
+    # are near-optimal already) and the deferred whole-call repair variant
+    # (make_lbmpc_solver_fleet) schedules worse (135k).
     hybrid_solve = make_lbmpc_solver_hybrid(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
-        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=3, ipm_iters=20,
-        repair_frac=1.0 / 16.0,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
+        repair_frac=32.0 / 2048.0, repair_sqp_iters=1, repair_ipm_iters=10,
+        repair_warm="fused",
     )
 
     rng = np.random.default_rng(0)
@@ -125,16 +128,17 @@ def main():
 
     backends = {
         "vmapped_sqp": jax.vmap(sc.solve),
-        "fused_sqp": fused_solve,
         "fused_sqp_s2i16": fused_fast_solve,
-        "hybrid_sqp": hybrid_solve,
+        "hybrid_s2i16_repair": hybrid_solve,
     }
     best = None
-    for name, batch, R in (("vmapped_sqp", 8192, 8), ("fused_sqp", 2048, 32),
+    runs = {}
+    for name, batch, R in (("vmapped_sqp", 8192, 8),
                            ("fused_sqp_s2i16", 2048, 32),
-                           ("hybrid_sqp", 2048, 32)):
+                           ("hybrid_s2i16_repair", 2048, 32)):
         dx, windows, z0 = batch_inputs(batch, R)
         run = make_scan(backends[name], R)
+        runs[name] = (run, (dx, windows, z0))
         force(run(dx, windows, z0))
         reps = 5
         times = []
@@ -150,9 +154,30 @@ def main():
         cand = dict(name=name, batch=batch, R=R, step_ms=step * 1e3,
                     solves_per_s=sps, conv=conv)
         print(json.dumps({"candidate": cand}), file=__import__("sys").stderr, flush=True)
-        # require a usable fleet: >=99% converged lanes to take the headline
-        if conv >= 0.99 and (best is None or sps > best["solves_per_s"]):
+        # require a production-grade fleet: >=99.9% converged lanes for the
+        # headline (VERDICT r1: a backend that leaves 0.3% of the fleet
+        # unconverged is not the final answer)
+        if conv >= 0.999 and (best is None or sps > best["solves_per_s"]):
             best = cand
+
+    # p99 per-step latency (BASELINE.json names it): 15 further calls of the
+    # winning backend; each scan-amortized batched step is one sample
+    # (analysis/solve_stats implements the reference's 5x500 CI protocol).
+    from lbmpc_tpu.analysis.roofline import measure_roofline
+    from lbmpc_tpu.analysis.solve_stats import SolveStats
+
+    run, args = runs[best["name"]]
+    samples = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        force(run(*args))
+        samples.append((time.perf_counter() - t0) / best["R"])
+    stats = SolveStats.from_samples(np.asarray(samples))
+
+    # MFU / roofline from XLA's own cost model for the whole compiled program
+    rl = measure_roofline(run, args, call_s=stats.median_ms * 1e-3 * best["R"],
+                          solves_per_call=best["R"] * best["batch"])
+    rl_dict = rl.as_dict() if rl.flops_per_call else {"unavailable": True}
 
     ref_solve_s = 0.115  # reference tracking-LMPC mean solve time (BASELINE.md)
     print(
@@ -166,7 +191,11 @@ def main():
                 "batch": best["batch"],
                 "solves_per_call": best["R"] * best["batch"],
                 "batched_step_ms": round(best["step_ms"], 2),
+                "p99_step_ms": round(stats.p99_ms, 2),
+                "rt_budget_ms": 10.0,
+                "p99_within_rt_budget": not stats.violates_budget(10.0),
                 "converged_frac": round(best["conv"], 4),
+                "roofline": rl_dict,
                 "backend": jax.default_backend(),
             }
         )

@@ -71,6 +71,22 @@ class OCPConfig:
     # get_cons_robust_ks) instead of the reference's K_t-based robust stack —
     # the construction that actually contracts on the MG2 reduction
     robust_tube: bool = False
+    # Regulation-to-equilibrium variants (ref: regular_NMPC_casadi.m,
+    # regular_LMPC_casadi.m): theta pinned at 0, hard-coded terminal cost
+    # REG_P, and — when ellipsoid_alpha is set — the quadratic terminal
+    # region (x - x_eq)' P (x - x_eq) <= alpha (regular_NMPC_casadi.m:48-53).
+    regulation: bool = False
+    ellipsoid_alpha: float | None = None
+
+
+# Hard-coded regulation terminal cost/region matrix
+# (ref: examples/regular_NMPC_casadi.m:48-53, = examples/regular_LMPC_casadi.m:91-95)
+REG_P = (
+    (2379.75328799635, -1408.52636933972, 586.834405598336, 2.54452796979169),
+    (-1408.52636933972, 1020.35695741999, -486.636840230204, -2.14515528702556),
+    (586.834405598336, -486.636840230204, 376.289369319808, 1.71242577067112),
+    (2.54452796979169, -2.14515528702556, 1.71242577067112, 1.01279182904087),
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +111,10 @@ class SolverConfig:
     # — f32 device speed with <1e-5 solution error (ROADMAP perf item 3)
     dtype: Literal["float32", "float64", "mixed"] = "float64"
     plant_integrator: Literal["rk4", "rk23", "rk4_fine"] = "rk23"
+    # NMPC prediction-model transcription: substepped RK4 of the true ODE,
+    # implicit Legendre collocation (ref: collocation_regular_NMPC_test.m),
+    # or the nominal DLTI (the regulation-LMPC model, regular_LMPC_casadi.m)
+    nmpc_prediction: Literal["rk4", "collocation", "dlti"] = "rk4"
     # QP backend for the LMPC path. "condensed" (default) eliminates states
     # up front — best at short horizons. "sparse" keeps the stage form and
     # factors each Newton system by a Riccati sweep (ops/sparse_ipm) — wins
@@ -234,6 +254,35 @@ def make_preset(name: str, **overrides) -> ScenarioConfig:
                 oracle=base_oracle,
                 solver=dataclasses.replace(base_solver, plant_integrator="rk4"),
                 controller="lmpc", family="casadi", iterations=500,
+            )
+        )
+        # Regulation presets (ref: regular_NMPC_casadi.m / regular_LMPC_casadi.m
+        # — N = T/delta = 100, x_init = [0.15;1.2875;1.1547;0], Q = R = I,
+        # terminal cost REG_P). The ellipsoidal region alpha=0.7 is defined at
+        # regular_NMPC_casadi.m:48-53 but its application is COMMENTED OUT in
+        # the reference run (:220-222) — and measurably so: from this x_init
+        # the unconstrained N=100 optimum terminates at x'Px ~ 26-39 >> 0.7,
+        # i.e. the hard region is infeasible during the transient. The preset
+        # therefore matches the executed reference (ellipsoid_alpha=None);
+        # setting ellipsoid_alpha enables the region as an elastic
+        # nonlinear-constraint row (tests/test_regulation.py exercises it).
+        _register(
+            ScenarioConfig(
+                name="REG_NMPC", plant=base_plant,
+                ocp=OCPConfig(N=100, terminal_at="last", regulation=True),
+                oracle=base_oracle,
+                solver=dataclasses.replace(base_solver, plant_integrator="rk4"),
+                controller="nmpc", family="casadi", iterations=500,
+            )
+        )
+        _register(
+            ScenarioConfig(
+                name="REG_LMPC", plant=base_plant,
+                ocp=OCPConfig(N=100, terminal_at="last", regulation=True),
+                oracle=base_oracle,
+                solver=dataclasses.replace(base_solver, plant_integrator="rk4",
+                                           nmpc_prediction="dlti"),
+                controller="nmpc", family="casadi", iterations=600,
             )
         )
     cfg = _PRESETS[name]

@@ -201,6 +201,160 @@ def make_lbmpc_solver(
     return solve
 
 
+def make_lbmpc_solver_sparse(
+    qp: CondensedQP,
+    A: np.ndarray,
+    B: np.ndarray,
+    Ks: np.ndarray,
+    w: LBMPCWeights,
+    cs,
+    family: str = "fmincon",
+    delta: float = 0.01,
+    bandwidth: float = 0.5,
+    ridge: float = 0.001,
+    dx_ref: np.ndarray | None = None,
+    sqp_iters: int = 3,
+    ipm_iters: int = 30,
+    terminal_at: str = "first",
+    tighten_first_step: bool = True,
+    dtype=jnp.float64,
+    rho: float = 1e4,
+):
+    """LBMPC SQP whose subproblems run in STAGE FORM (ops/sparse_gn.py):
+    each Gauss-Newton step is a Riccati-factored Mehrotra IPM over the
+    dual-trajectory stage variables instead of a dense condensed QP —
+    O(N) per Newton system instead of O((Nm)^3). Long-horizon path
+    (VERDICT r1 item 5); `qp` is used only for layout (N, n, m, nz) and the
+    shared residual stack. Ref: the lifted DMS NLPs the reference hands to
+    IPOPT (examples/DMS_LBMPC_casadi.m:122-130) are exactly this structure.
+
+    Returns solve(dx0, window, z_ws) -> (z, converged) — same contract and
+    same cost/constraint semantics as make_lbmpc_solver (episode-equivalence
+    is tested in tests/test_sparse_gn.py)."""
+    from lbmpc_tpu.ops.sparse_gn import make_stage_gn, solve_sparse_gn
+
+    N, n, m = qp.N, qp.n, qp.m
+    nth = np.atleast_2d(np.asarray(w.LAMBDA)).shape[1]
+    sg = make_stage_gn(A, B, Ks, np.asarray(w.Lq).T @ np.asarray(w.Lq),
+                       np.asarray(w.Lr).T @ np.asarray(w.Lr),
+                       np.asarray(w.Lp).T @ np.asarray(w.Lp),
+                       float(w.sqrtT) ** 2, w.LAMBDA, w.PSI, cs, N, delta,
+                       family=family, terminal_at=terminal_at,
+                       tighten_first_step=tighten_first_step)
+    sg = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, sg)
+    Ad = jnp.asarray(A, dtype)
+    Bd = jnp.asarray(B, dtype)
+    Ksd = jnp.asarray(np.atleast_2d(Ks), dtype) if family == "fmincon" \
+        else jnp.zeros((m, n), dtype)
+    An = Ad + Bd @ Ksd
+    LAM = jnp.asarray(w.LAMBDA, dtype)
+    PSI = jnp.asarray(w.PSI, dtype)
+    xs_ref = (jnp.zeros((n,), dtype) if dx_ref is None
+              else jnp.asarray(dx_ref, dtype))
+    residual, _ = make_residual_and_jac(
+        qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
+        ridge=ridge, dx_ref=dx_ref, dtype=dtype)
+    # selector rows: dxi/dxl = [e1; e2; Ks or 0], dxi/dc = [0; 0; I]
+    Exl = jnp.concatenate([jnp.eye(2, n, dtype=dtype), Ksd], axis=0)  # (3, n)
+
+    def linearize(z, dx0, window):
+        cvals = z[: N * m].reshape(N, m)
+        theta = z[N * m :]
+
+        def lstep(xl, c):
+            u = Ksd @ xl + c
+            xi = make_xi(xl, u)
+            gv, Jg = nw_estimate_and_jac(xi, window, bandwidth, ridge)
+            Al = An + Jg @ Exl
+            Bl = Bd + Jg[:, 2:3]
+            x1 = Ad @ xl + Bd @ u + gv
+            return x1, (Al, Bl, xl, u)
+
+        xlN, (Als, Bls, xls, us) = jax.lax.scan(lstep, dx0, cvals)
+
+        def nstep(x, c):
+            return An @ x + Bd @ c, x
+
+        xnN, xns = jax.lax.scan(nstep, dx0, cvals)
+        xn_all = jnp.concatenate([xns, xnN[None]])       # x_0..x_N nominal
+
+        # GN linear terms (pre-doubled convention of StageGNQP blocks)
+        ex = xls - (LAM @ theta)[None, :]                # (N, n)
+        eu = us - (PSI @ theta)[None, :]                 # (N, m)
+        eN = xlN - LAM @ theta
+        cm = sg.cost_mask[:, None]
+        q_stage = cm * (ex @ sg.Qb.T + eu @ (sg.Ks.T @ sg.Rb).T)
+        q_xl = jnp.concatenate([q_stage, (sg.Pb @ eN)[None, :]])
+        r_c = cm * (eu @ sg.Rb.T)
+        g_th = (- LAM.T @ (sg.Qb @ (ex * cm).sum(0))
+                - PSI.T @ (sg.Rb @ (eu * cm).sum(0))
+                - LAM.T @ (sg.Pb @ eN)
+                + sg.TLL @ theta
+                - 2.0 * float(w.sqrtT) ** 2 * (LAM.T @ xs_ref))
+        hx_t = sg.h_x[None, :] - xn_all[1:] @ sg.F_x.T
+        hu_t = sg.h_u[None, :] - (cvals + xn_all[:N] @ Ksd.T) @ sg.F_u.T
+        hd_t = sg.h_d - sg.F_d @ xn_all[1]
+        hw_t = sg.h_w - sg.Fw_x @ xn_all[sg.kT] - sg.Fw_th @ theta
+        return Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t, xn_all
+
+    def viol_of(z, dx0):
+        cvals = z[: N * m].reshape(N, m)
+        theta = z[N * m :]
+
+        def nstep(x, c):
+            return An @ x + Bd @ c, x
+
+        xnN, xns = jax.lax.scan(nstep, dx0, cvals)
+        xn_all = jnp.concatenate([xns, xnN[None]])
+        vx = jnp.maximum(xn_all[1:] @ sg.F_x.T - sg.h_x[None, :], 0.0)
+        vu = jnp.maximum(
+            (cvals + xn_all[:N] @ Ksd.T) @ sg.F_u.T - sg.h_u[None, :], 0.0)
+        vd = jnp.maximum(sg.F_d @ xn_all[1] - sg.h_d, 0.0)
+        vw = jnp.maximum(
+            sg.Fw_x @ xn_all[sg.kT] + sg.Fw_th @ theta - sg.h_w, 0.0)
+        return (jnp.sum(vx * sg.srow_mask[:, None])
+                + jnp.sum(vu * sg.urow_mask[:, None])
+                + jnp.sum(vd) + jnp.sum(vw))
+
+    alphas = (1.0, 0.5, 0.25, 0.125, 0.0625)
+
+    def solve(dx0, window: DataWindow, z_ws):
+        def cost(z):
+            e = residual(z, dx0, window)
+            return jnp.sum(e * e)
+
+        def merit(z):
+            return cost(z) + rho * viol_of(z, dx0)
+
+        z = z_ws
+        conv = jnp.asarray(True)
+        for _ in range(sqp_iters):
+            (Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
+             _) = linearize(z, dx0, window)
+            sol = solve_sparse_gn(sg, Als, Bls, q_xl, r_c, g_th,
+                                  hx_t, hu_t, hd_t, hw_t, iters=ipm_iters)
+            d = jnp.concatenate([sol.dC.ravel(), sol.dth])
+            conv = sol.converged
+            g_z = jax.grad(cost)(z)
+            m0 = merit(z)
+            dirderiv = jnp.dot(g_z, d) - rho * viol_of(z, dx0)
+            accepted = jnp.asarray(False)
+            alpha_sel = jnp.zeros((), dtype)
+            for a in alphas:
+                m_a = merit(z + a * d)
+                ok = jnp.logical_and(~accepted, m_a <= m0 + 1e-4 * a * dirderiv)
+                alpha_sel = jnp.where(ok, a, alpha_sel)
+                accepted = jnp.logical_or(accepted, ok)
+            d = jnp.where(jnp.isfinite(d), d, 0.0)
+            z = z + alpha_sel * d
+        return z, conv
+
+    return solve
+
+
 def make_casadi_warm_start(qp: CondensedQP, A, B, Ks, dtype=jnp.float64):
     """Shift-and-append warm start (ref: DMS_LBMPC_casadi.m:209-213).
 

@@ -111,12 +111,22 @@ def sqp_solve_nonlinear_constraints(
     ipm_iters: int = 30,
     rho: float = 1e4,
     reg: float = 1e-9,
+    elastic_rows: int = 0,
 ) -> SQPResult:
     """SQP with nonlinear inequality constraints (NMPC: true-ODE rollout).
 
     Constraints are linearized each iteration: c(z) + Jc d <= 0; the merit is
     cost + rho * sum max(c, 0). Ref behaviour: constraintsNMPC.m evaluated by
     fmincon-SQP with finite differences — here Jc comes from jacfwd.
+
+    elastic_rows=k puts the LAST k constraint rows in elastic mode (SNOPT
+    style): each gets a slack s >= 0 with c + Jc d <= s and linear penalty
+    rho * s in the QP objective — the exact-penalty QP counterpart of the
+    merit's hinge term. Use for rows whose linearization can be infeasible at
+    intermediate iterates (e.g. a terminal ellipsoid the rollout cannot yet
+    reach — ref: regular_NMPC_casadi.m's terminal constraint, which the
+    reference left commented out for exactly this reason); hard rows stay
+    hard, and at a feasible optimum the slacks sit at 0.
     """
     nz = z0.shape[-1]
     Ireg = jnp.eye(nz, dtype=z0.dtype)
@@ -133,8 +143,26 @@ def sqp_solve_nonlinear_constraints(
         g = grad_fn(z)
         c = cons_fn(z)
         Jc = jax.jacfwd(cons_fn)(z)
-        sol = solve_qp(H, g, Jc, -c, iters=ipm_iters)
-        d = sol.x
+        if elastic_rows:
+            k = elastic_rows
+            mc = c.shape[0]
+            dt = z0.dtype
+            # d_ext = [d; s]: min .. + rho 1's  s.t. [Jc -E] d_ext <= -c,
+            # -s <= 0, where E selects the elastic rows
+            E = jnp.zeros((mc, k), dt).at[mc - k :, :].set(jnp.eye(k, dtype=dt))
+            H_e = jnp.block([
+                [H, jnp.zeros((nz, k), dt)],
+                [jnp.zeros((k, nz), dt), 1e-6 * jnp.eye(k, dtype=dt)]])
+            g_e = jnp.concatenate([g, jnp.full((k,), rho, dt)])
+            G_e = jnp.block([
+                [Jc, -E],
+                [jnp.zeros((k, nz), dt), -jnp.eye(k, dtype=dt)]])
+            rhs = jnp.concatenate([-c, jnp.zeros((k,), dt)])
+            sol = solve_qp(H_e, g_e, G_e, rhs, iters=ipm_iters)
+            d = sol.x[:nz]
+        else:
+            sol = solve_qp(H, g, Jc, -c, iters=ipm_iters)
+            d = sol.x
         m0 = merit(z)
         viol0 = jnp.sum(jnp.maximum(c, 0.0))
         dir_deriv = jnp.dot(g, d) - rho * viol0
@@ -145,7 +173,12 @@ def sqp_solve_nonlinear_constraints(
         oks = jnp.stack([try_alpha(a) for a in _ALPHAS])
         alphas = jnp.asarray(_ALPHAS, z0.dtype)
         idx = jnp.argmax(oks)
-        alpha = jnp.where(jnp.any(oks), alphas[idx], alphas[-1])
+        # if every alpha is rejected (e.g. a diverged QP direction — the
+        # elastic/ellipsoid subproblems can fail far from feasibility), take
+        # NO step instead of stepping blindly by the smallest alpha; same
+        # guard as the fused batch SQP (sqp_fused.py)
+        alpha = jnp.where(jnp.any(oks), alphas[idx], jnp.zeros((), z0.dtype))
+        d = jnp.where(jnp.isfinite(d), d, 0.0)
         return z + alpha * d, (jnp.linalg.norm(d), sol.converged)
 
     z, (dnorms, qpconv) = jax.lax.scan(body, z0, None, length=iters)

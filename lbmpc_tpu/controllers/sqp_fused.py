@@ -241,3 +241,83 @@ def make_lbmpc_solver_hybrid(
 
     solve_batch.raw = _solve
     return solve_batch
+
+
+def make_lbmpc_solver_fleet(
+    qp: CondensedQP,
+    A: np.ndarray,
+    B: np.ndarray,
+    Ks: np.ndarray,
+    w: LBMPCWeights,
+    sqp_iters: int = 2,
+    ipm_iters: int = 16,
+    repair_frac: float = 1.0 / 128.0,
+    repair_sqp_iters: int = 1,
+    repair_ipm_iters: int = 20,
+    **kw,
+):
+    """Fused SQP over R independent batches + ONE deferred compacted repair.
+
+    The per-step hybrid repair (make_lbmpc_solver_hybrid) pays the vmapped
+    repair's sequential depth (~3.3 ms, K- and iteration-insensitive — pure
+    op-dispatch depth of the N-stage Jacobian scan + IPM chain) once per
+    batch. For a throughput workload of R independent batches per call the
+    repair can instead be deferred: scan the fused solver over all R batches,
+    gather the flagged lanes of the WHOLE call (top_k over R*B lanes) into
+    one fixed-size buffer, run the vmapped repair once, and scatter back —
+    the repair depth amortizes over R batches instead of one.
+
+    Returns solve_many(dx0 (R,B,n), windows (R,B,...), z_ws (R,B,nz))
+    -> (z (R,B,nz), converged (R,B)), jitted. Every solve in the call is
+    final when the call returns (this is a solve service, not a closed loop —
+    closed loops need the per-step hybrid instead).
+    """
+    from lbmpc_tpu.controllers.lbmpc import make_lbmpc_solver
+
+    fused = make_lbmpc_solver_fused(
+        qp, A, B, Ks, w, sqp_iters=sqp_iters, ipm_iters=ipm_iters, **kw)
+    vm = make_lbmpc_solver(
+        qp, A, B, Ks, w, sqp_iters=repair_sqp_iters,
+        ipm_iters=repair_ipm_iters, dtype=jnp.float32,
+        **{k: v for k, v in kw.items()
+           if k in ("family", "delta", "bandwidth", "ridge", "dx_ref")})
+    vm_b = jax.vmap(vm, in_axes=(0, 0, 0))
+    f32 = jnp.float32
+
+    def _solve_many(dx0, windows, z_ws):
+        R, Bsz = dx0.shape[0], dx0.shape[1]
+        total = R * Bsz
+
+        def body(_, inp):
+            d, w_, z = inp
+            return None, fused.raw(d, w_, z)
+
+        _, (z, conv) = jax.lax.scan(body, None, (dx0, windows, z_ws))
+        zf = z.reshape(total, -1)
+        convf = conv.reshape(total)
+        dxf = dx0.reshape(total, -1)
+        wsf = jax.tree.map(lambda a: a.reshape((total,) + a.shape[2:]), windows)
+        z_wsf = z_ws.reshape(total, -1)
+        K = max(1, min(total, int(round(total * repair_frac))))
+        flagged = ~convf
+        _, idx = jax.lax.top_k(flagged.astype(f32), K)
+        take = flagged[idx]
+        sub_w = jax.tree.map(lambda a: a[idx], wsf)
+        z_seed = jnp.where(jnp.isfinite(zf[idx]), zf[idx], z_wsf[idx])
+        z_r, conv_r = vm_b(dxf[idx], sub_w, z_seed)
+        z_r = jnp.where(jnp.isfinite(z_r), z_r, 0.0)
+        zf = zf.at[idx].set(jnp.where(take[:, None], z_r, zf[idx]))
+        convf = convf.at[idx].set(jnp.where(take, conv_r, convf[idx]))
+        return zf.reshape(z.shape), convf.reshape(conv.shape)
+
+    @jax.jit
+    def solve_many(dx0, windows, z_ws):
+        with jax.default_matmul_precision("highest"):
+            return _solve_many(
+                dx0.astype(f32),
+                jax.tree.map(lambda a: a.astype(f32)
+                             if a.dtype != jnp.int32 else a, windows),
+                z_ws.astype(f32))
+
+    solve_many.raw = _solve_many
+    return solve_many

@@ -56,6 +56,49 @@ def save(path, state: EpisodeState, meta: dict[str, Any] | None = None) -> None:
     )
 
 
+def capture(result, step: int) -> EpisodeState:
+    """EpisodeState from a finished (partial) episode's ClosedLoopResult.
+
+    The result carries the exact resume tuple (final_x, final_window,
+    final_z — runtime/closed_loop.py); `step` records how many steps the
+    episode has advanced. Works for single and batched results alike.
+    """
+    w = result.final_window
+    return EpisodeState(
+        step=step,
+        x_abs=np.asarray(result.final_x),
+        window_X=np.asarray(w.X),
+        window_Y=np.asarray(w.Y),
+        window_valid=np.asarray(w.valid),
+        window_count=np.asarray(w.count),
+        z_warm=np.asarray(result.final_z),
+    )
+
+
+def resume(scenario, state: EpisodeState, steps: int):
+    """Continue an episode from a checkpoint (VERDICT r1 item 9).
+
+    Rebuilds the scan carry (plant state, oracle window, warm start) from
+    `state` and runs `steps` further closed-loop steps through the
+    scenario's jitted episode — interrupted-then-resumed is bit-identical to
+    uninterrupted (tests/test_runtime.py). The reference's closest analog is
+    artifact reuse (term_set.mat, functions/getCONS.m:56-58); mid-episode
+    resume has no reference counterpart.
+    """
+    from lbmpc_tpu.oracle import DataWindow
+
+    x_wp = np.asarray(scenario.cfg.plant.x_wp)
+    window = DataWindow(
+        X=jnp.asarray(state.window_X),
+        Y=jnp.asarray(state.window_Y),
+        valid=jnp.asarray(state.window_valid),
+        count=jnp.asarray(state.window_count),
+    )
+    dx = jnp.asarray(state.x_abs) - x_wp
+    return scenario.episode_from(dx, window, jnp.asarray(state.z_warm),
+                                 steps=steps)
+
+
 def load(path) -> tuple[EpisodeState, dict[str, Any]]:
     d = np.load(path, allow_pickle=False)
     ver = int(d["format_version"])

@@ -30,6 +30,11 @@ class ClosedLoopResult(NamedTuple):
     art_history: jax.Array   # (iterations, m): artificial reference Lambda theta (1st state block row m)
     solver_converged: jax.Array  # (iterations,) bool
     final_window: DataWindow
+    # resumable carry (runtime/checkpoint.py): post-episode plant state and
+    # the next step's warm start — continuing from these reproduces the
+    # uninterrupted episode exactly (test_runtime checkpoint-resume test)
+    final_x: jax.Array = None        # (n,) absolute plant state after the last step
+    final_z: jax.Array = None        # (nz,) warm start for the next solve
 
 
 def run_closed_loop(
@@ -76,12 +81,12 @@ def run_closed_loop(
         logged_dx = x1 - x_wp if log_post_state else dx
         return (x1, window1, z_next), (jnp.concatenate([logged_dx, du]), art[:m], converged)
 
-    (xf, wf, _), (sysH, artH, conv) = jax.lax.scan(
+    (xf, wf, zf), (sysH, artH, conv) = jax.lax.scan(
         step, (x0_abs, window0, z0), None, length=iterations
     )
     first = jnp.concatenate([dx_init, jnp.zeros((m,), sysH.dtype)])[None, :]
     sysH = jnp.concatenate([first, sysH], axis=0)
-    return ClosedLoopResult(sysH, artH, conv, wf)
+    return ClosedLoopResult(sysH, artH, conv, wf, final_x=xf, final_z=zf)
 
 
 def run_closed_loop_batched(
@@ -139,7 +144,7 @@ def run_closed_loop_batched(
         return (x1, window1, z_next), (
             jnp.concatenate([logged_dx, du], axis=1), art[:, :m], converged)
 
-    (xf, wf, _), (sysH, artH, conv) = jax.lax.scan(
+    (xf, wf, zf), (sysH, artH, conv) = jax.lax.scan(
         step, (x0_abs, window0, z0), None, length=iterations
     )
     first = jnp.concatenate(
@@ -150,4 +155,4 @@ def run_closed_loop_batched(
     sysH = jnp.swapaxes(sysH, 0, 1)
     artH = jnp.swapaxes(artH, 0, 1)
     conv = jnp.swapaxes(conv, 0, 1)
-    return ClosedLoopResult(sysH, artH, conv, wf)
+    return ClosedLoopResult(sysH, artH, conv, wf, final_x=xf, final_z=zf)

@@ -43,6 +43,7 @@ class Scenario:
     episode: "object"      # jitted (dx_init,) -> ClosedLoopResult
     episode_with_window: "object"  # (dx_init, window0) -> ClosedLoopResult
     solve: "object"        # raw per-step solver (dx, window, z_ws) -> (z, conv)
+    episode_from: "object" = None  # (dx_init, window0, z0, steps=) -> result
 
     def run(self, dx_init=None) -> ClosedLoopResult:
         """Run one episode; default initial state follows the family's
@@ -55,20 +56,40 @@ class Scenario:
         return self.episode(jnp.asarray(dx_init, jnp.float64))
 
     def run_batch(self, dx_inits) -> ClosedLoopResult:
-        return jax.vmap(self.episode)(jnp.asarray(dx_inits))
+        dx_inits = jnp.asarray(dx_inits)
+        if getattr(self.cfg.solver, "qp_backend", "") == "sparse_parallel":
+            # associative-scan Riccati memory guard: the batched scan's
+            # per-level temporaries crashed the remote TPU worker at
+            # batch 1024 x N=100 (= 102400 lane-stages; ROADMAP item 4
+            # CAUTION / memory note 2026-08). Refuse configurations beyond
+            # half that observed boundary instead of risking the worker.
+            lane_stages = int(dx_inits.shape[0]) * self.cfg.ocp.N
+            if lane_stages > 51200:
+                raise ValueError(
+                    f"sparse_parallel batch x N = {lane_stages} lane-stages "
+                    "exceeds the validated VMEM/HBM envelope (51200; the "
+                    "worker crashed at 102400). Use qp_backend='sparse' for "
+                    "large batches — the associative scan is the "
+                    "single-solve latency option.")
+        return jax.vmap(self.episode)(dx_inits)
 
 
 def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     cfg = name_or_cfg if isinstance(name_or_cfg, ScenarioConfig) else make_preset(name_or_cfg)
     qp_backend = getattr(cfg.solver, "qp_backend", "condensed")
     if qp_backend != "condensed":
-        # sparse backends currently serve the LMPC QP only; reject silently-
-        # ignored configurations instead of running condensed anyway (ADVICE r1)
-        if cfg.controller != "lmpc":
+        # reject silently-ignored configurations instead of running condensed
+        # anyway (ADVICE r1): sparse serves LMPC QPs and LBMPC SQP
+        # subproblems (ops/sparse_gn); NMPC stays condensed, and the
+        # associative-scan variant stays LMPC-only (no cross-term support; it
+        # also crashed the TPU worker at batch 1024 x N=100 — ROADMAP item 4
+        # CAUTION — so it is gated to the dense-batch-free LMPC path).
+        if cfg.controller == "nmpc" or (
+                cfg.controller == "lbmpc" and qp_backend == "sparse_parallel"):
             raise ValueError(
-                f"qp_backend={qp_backend!r} supports controller='lmpc' only "
-                f"(got {cfg.controller!r}); LBMPC/NMPC SQP subproblems use "
-                "the condensed path")
+                f"qp_backend={qp_backend!r} is not supported for "
+                f"controller={cfg.controller!r}; sparse LBMPC uses "
+                "qp_backend='sparse', NMPC uses 'condensed'")
         if cfg.solver.dtype == "mixed":
             raise ValueError(
                 "dtype='mixed' (f32 IPM + f64 refinement) is a condensed-path "
@@ -167,20 +188,42 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
 
         learn = False
     elif cfg.controller == "lbmpc":
-        solve = make_lbmpc_solver(
-            qp, A, B, ocp.Ks, w,
-            family=cfg.family, delta=p.ts,
-            bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
-            dx_ref=np.asarray(cfg.dx_ref),
-            sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm, dtype=dtype,
-            mixed=mixed,
-        )
+        if qp_backend == "sparse":
+            from lbmpc_tpu.controllers.lbmpc import make_lbmpc_solver_sparse
+
+            solve = make_lbmpc_solver_sparse(
+                qp, A, B, ocp.Ks, w, cs,
+                family=cfg.family, delta=p.ts,
+                bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+                dx_ref=np.asarray(cfg.dx_ref),
+                sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm,
+                terminal_at=cfg.ocp.terminal_at,
+                tighten_first_step=cfg.ocp.tighten_first_step, dtype=dtype,
+            )
+        else:
+            solve = make_lbmpc_solver(
+                qp, A, B, ocp.Ks, w,
+                family=cfg.family, delta=p.ts,
+                bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+                dx_ref=np.asarray(cfg.dx_ref),
+                sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm, dtype=dtype,
+                mixed=mixed,
+            )
         learn = cfg.learn_online
     elif cfg.controller == "nmpc":
+        regulation = getattr(cfg.ocp, "regulation", False)
+        if regulation:
+            from lbmpc_tpu.config import REG_P
+            P_term = np.asarray(REG_P)
+        else:
+            P_term = None
         solve = make_nmpc_solver(
             cs, ocp.Ks, w, N, p.ts, np.asarray(p.x_wp), p.u_wp,
             family=cfg.family, dx_ref=np.asarray(cfg.dx_ref),
             sqp_iters=cfg.solver.sqp_iters, ipm_iters=iters_ipm,
+            prediction=getattr(cfg.solver, "nmpc_prediction", "rk4"),
+            AB=(A, B), regulation=regulation, P_term=P_term,
+            ellipsoid_alpha=getattr(cfg.ocp, "ellipsoid_alpha", None),
         )
         learn = False
     else:
@@ -188,16 +231,20 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
 
     Ks_eff = ocp.Ks if cfg.family == "fmincon" else np.zeros_like(ocp.Ks)
 
-    @jax.jit
-    def episode_with_window(dx_init, window0):
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def episode_from(dx_init, window0, z0, steps=cfg.iterations):
+        """Episode from an arbitrary carry (resume path — runtime/checkpoint)."""
         return run_closed_loop(
             solve, plant, warm,
             jnp.asarray(Ks_eff), jnp.asarray(A), jnp.asarray(B), jnp.asarray(ocp.LAMBDA),
             jnp.asarray(p.x_wp), jnp.asarray([p.u_wp]), dx_init,
-            jnp.zeros(qp.nz), window0,
-            cfg.iterations, learn=learn,
+            z0, window0,
+            steps, learn=learn,
             log_post_state=(cfg.controller != "lbmpc"),
         )
+
+    def episode_with_window(dx_init, window0):
+        return episode_from(dx_init, window0, jnp.zeros(qp.nz))
 
     def episode(dx_init):
         return episode_with_window(
@@ -206,6 +253,7 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     return Scenario(
         cfg=cfg, A=A, B=B, ocp=ocp, cs=cs, nz=qp.nz,
         episode=episode, episode_with_window=episode_with_window, solve=solve,
+        episode_from=episode_from,
     )
 
 

@@ -40,7 +40,12 @@ def initialize_multihost(
     """
     import jax
 
-    if jax.process_count() > 1:
+    # must not touch the backend before initialize (jax.process_count()
+    # would initialise XLA and make distributed init impossible — caught by
+    # tests/test_multihost.py); probe the distributed client state directly
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:

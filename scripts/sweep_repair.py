@@ -130,18 +130,57 @@ def main():
             audit_c0_p50=float(np.median(err)), audit_c0_max=float(err.max()),
             compile_s=round(compile_s, 1))), flush=True)
 
-    base = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w, **kw,
-                                   sqp_iters=2, ipm_iters=16)
-    measure("fused_s2i16", base)
+    configs = [(32, 1, 20, "fused"), (32, 2, 20, "fused"),
+               (64, 1, 20, "fused"), (64, 2, 25, "fused"),
+               (128, 3, 30, "ws")]
+    if os.environ.get("REPAIRS"):
+        configs = []
+        for spec in os.environ["REPAIRS"].split(";"):
+            k_, rs_, ri_, warm_ = spec.split(",")
+            configs.append((int(k_), int(rs_), int(ri_), warm_))
+    else:
+        base = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w, **kw,
+                                       sqp_iters=2, ipm_iters=16)
+        measure("fused_s2i16", base)
 
-    for K, rs, ri, warm in [(32, 1, 20, "fused"), (32, 2, 20, "fused"),
-                            (64, 1, 20, "fused"), (64, 2, 25, "fused"),
-                            (128, 3, 30, "ws")]:
+    for K, rs, ri, warm in configs:
         h = make_lbmpc_solver_hybrid(
             qp, sc.A, sc.B, sc.ocp.Ks, w, **kw, sqp_iters=2, ipm_iters=16,
             repair_frac=K / batch, repair_sqp_iters=rs, repair_ipm_iters=ri,
             repair_warm=warm)
         measure(f"s2i16+rep_K{K}_s{rs}i{ri}_{warm}", h)
+
+    if os.environ.get("FLEET"):
+        from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fleet
+
+        for frac, rs, ri in [(1 / 128, 1, 20), (1 / 64, 1, 20),
+                             (1 / 128, 2, 25)]:
+            fleet = make_lbmpc_solver_fleet(
+                qp, sc.A, sc.B, sc.ocp.Ks, w, **kw, sqp_iters=2,
+                ipm_iters=16, repair_frac=frac, repair_sqp_iters=rs,
+                repair_ipm_iters=ri)
+            t0 = time.perf_counter()
+            force(fleet(dx, windows, z0))
+            compile_s = time.perf_counter() - t0
+            times = []
+            out = None
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = fleet(dx, windows, z0)
+                force(out)
+                times.append(time.perf_counter() - t0)
+            call = float(np.median(times))
+            conv = float(np.mean(np.asarray(out[1])))
+            z_a = np.asarray(out[0][0])
+            err = np.abs(z_a[:, 0] - z_ref[:, 0])
+            print(json.dumps(dict(
+                name=f"fleet_deferred_K{int(batch*R*frac)}_s{rs}i{ri}",
+                batch=batch, R=R, step_ms=round(call / R * 1e3, 3),
+                solves_per_s=round(batch * R / call, 1),
+                conv=round(conv, 6),
+                audit_c0_p50=float(np.median(err)),
+                audit_c0_max=float(err.max()),
+                compile_s=round(compile_s, 1))), flush=True)
 
 
 if __name__ == "__main__":

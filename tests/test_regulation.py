@@ -1,0 +1,119 @@
+"""Regulation presets, ellipsoidal terminal region, collocation transcription.
+
+VERDICT r1 items 7 & 10. Refs: examples/regular_NMPC_casadi.m /
+regular_LMPC_casadi.m (regulation to the equilibrium, theta pinned,
+hard-coded terminal P, ellipsoidal region alpha=0.7 defined at :48-53 with
+its application commented out at :220-222 — measurably infeasible during the
+transient, see config.py REG_NMPC note) and
+examples/collocation_regular_NMPC_test.m:129-159 (Legendre collocation
+transcription).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lbmpc_tpu.config import REG_P, make_preset
+from lbmpc_tpu.runtime.scenario import build_scenario
+
+
+def test_reg_nmpc_episode_converges_to_equilibrium():
+    """REG_NMPC (N=100, true-ODE prediction): the closed loop regulates the
+    full nonlinear plant toward x_eq with every SQP step converged."""
+    cfg = make_preset("REG_NMPC", iterations=150)
+    res = build_scenario(cfg).run()
+    assert bool(res.solver_converged.all())
+    h = np.asarray(res.sys_history)
+    # theta is pinned: artificial reference never moves
+    assert np.abs(np.asarray(res.art_history)).max() < 1e-12
+    # monotone-ish approach: mass-flow delta shrinks substantially (the
+    # compressor's slow modes settle over ~5 s; 150 steps = 1.5 s covers the
+    # first 28% of the contraction — measured 0.253 from 0.35)
+    assert abs(h[-1, 0]) < 0.75 * abs(h[0, 0])
+    # state box respected (prise rides its lower bound during spool-up)
+    assert h[:, 1].min() > -0.5 - 1e-6
+
+
+def test_reg_lmpc_episode_converges_to_equilibrium():
+    """REG_LMPC (nominal-DLTI prediction — regular_LMPC_casadi.m): regulation
+    drives the plant toward the equilibrium."""
+    cfg = make_preset("REG_LMPC", iterations=400)
+    res = build_scenario(cfg).run()
+    assert bool(res.solver_converged.all())
+    h = np.asarray(res.sys_history)
+    assert abs(h[-1, 0]) < 0.25 * abs(h[0, 0])
+    assert np.abs(np.asarray(res.art_history)).max() < 1e-12
+
+
+def test_ellipsoid_terminal_region_enforced_when_reachable():
+    """Starting near the equilibrium, the elastic terminal-ellipsoid row is
+    feasible and the solution's predicted terminal state satisfies
+    x' P x <= alpha (ref: terminalconstraints, regular_NMPC_casadi.m:231-233).
+    """
+    from lbmpc_tpu.models.mgcm import rk4_step
+
+    cfg = make_preset("REG_NMPC")
+    cfg = dataclasses.replace(
+        cfg, ocp=dataclasses.replace(cfg.ocp, N=30, ellipsoid_alpha=0.7))
+    sc = build_scenario(cfg)
+    dx0 = jnp.asarray([-0.02, -0.016, 0.0, 0.0])
+    z, conv = sc.solve(dx0, None, jnp.zeros(sc.nz))
+    assert bool(conv)
+    # roll the solution through the prediction model to its terminal state
+    x_wp = np.asarray(cfg.plant.x_wp)
+    x = x_wp + np.asarray(dx0)
+    for c in np.asarray(z[:30]):
+        x = np.asarray(rk4_step(jnp.asarray(x), float(c + cfg.plant.u_wp),
+                                cfg.plant.ts, substeps=4))
+    v = (x - x_wp) @ np.asarray(REG_P) @ (x - x_wp)
+    assert v <= 0.7 * (1.0 + 1e-3)
+
+
+def test_ellipsoid_elastic_degrades_gracefully_when_unreachable():
+    """From the far transient the hard region is infeasible (config.py note);
+    the elastic row must keep the solver finite and land in the same terminal
+    class as the unconstrained optimum instead of wedging the QP. (It cannot
+    do better than that: the terminal COST already carries the same P, so the
+    unconstrained optimum sits at the reachability floor — the hinge penalty
+    can only match it, which is exactly the graceful-degradation contract.)"""
+    from lbmpc_tpu.models.mgcm import rk4_step
+
+    def terminal_v(cfg, dx0):
+        sc = build_scenario(cfg)
+        z, _ = sc.solve(dx0, None, jnp.zeros(sc.nz))
+        assert bool(jnp.isfinite(z).all())
+        x_wp = np.asarray(cfg.plant.x_wp)
+        x = x_wp + np.asarray(dx0)
+        for c in np.asarray(z[: cfg.ocp.N]):
+            x = np.asarray(rk4_step(jnp.asarray(x), float(c + cfg.plant.u_wp),
+                                    cfg.plant.ts, substeps=4))
+        return (x - x_wp) @ np.asarray(REG_P) @ (x - x_wp)
+
+    base = make_preset("REG_NMPC")
+    base = dataclasses.replace(base, ocp=dataclasses.replace(base.ocp, N=30))
+    with_ell = dataclasses.replace(
+        base, ocp=dataclasses.replace(base.ocp, ellipsoid_alpha=0.7))
+    dx0 = jnp.asarray([-0.35, -0.4, 0.0, 0.0])
+    v_free = terminal_v(base, dx0)
+    v_ell = terminal_v(with_ell, dx0)
+    assert v_free > 0.7  # the premise: unconstrained optimum is outside
+    assert v_ell < 2.0 * v_free  # no wedging: same terminal class
+
+
+def test_collocation_nmpc_matches_rk4_nmpc():
+    """Collocation-transcription NMPC reproduces the RK4-transcription NMPC
+    closed loop on the same scenario (both integrators are high-accuracy on
+    the non-stiff sampling interval; ref: collocation_regular_NMPC_test.m)."""
+    base = make_preset("NMPC_N20", iterations=30)
+    res_rk4 = build_scenario(base).run()
+    coll = dataclasses.replace(
+        base, solver=dataclasses.replace(base.solver,
+                                         nmpc_prediction="collocation"))
+    res_col = build_scenario(coll).run()
+    assert bool(res_col.solver_converged.all())
+    d = np.abs(np.asarray(res_col.sys_history) - np.asarray(res_rk4.sys_history))
+    assert d.max() < 1e-6
