@@ -71,17 +71,18 @@ def main():
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
     )
     # Headline backend (round 2): fused s2i16 + gather-compacted repair of
-    # the flagged mu-stall lanes — top_k gathers K=32 lanes, a 1-GN/10-IPM
+    # the flagged mu-stall lanes — top_k gathers K=24 lanes, a 1-GN/8-IPM
     # vmapped re-solve seeded at the fused iterate repairs them in-place.
-    # On-chip frontier (scripts/sweep_repair.py, 2026-08): conv 1.0 at
-    # 205-207k solves/s; deeper repair budgets only cost time (repair lanes
-    # are near-optimal already) and the deferred whole-call repair variant
+    # On-chip frontier (scripts/sweep_repair.py, 2026-08): conv 1.0 with
+    # zero unconverged lanes per call at every budget down to K24 x 1-GN/8-IPM
+    # (213k solves/s); deeper repair budgets only cost time (repair lanes are
+    # near-optimal already) and the deferred whole-call repair variant
     # (make_lbmpc_solver_fleet) schedules worse (135k).
     hybrid_solve = make_lbmpc_solver_hybrid(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
-        repair_frac=32.0 / 2048.0, repair_sqp_iters=1, repair_ipm_iters=10,
+        repair_frac=24.0 / 2048.0, repair_sqp_iters=1, repair_ipm_iters=8,
         repair_warm="fused",
     )
 
@@ -163,7 +164,6 @@ def main():
     # p99 per-step latency (BASELINE.json names it): 15 further calls of the
     # winning backend; each scan-amortized batched step is one sample
     # (analysis/solve_stats implements the reference's 5x500 CI protocol).
-    from lbmpc_tpu.analysis.roofline import measure_roofline
     from lbmpc_tpu.analysis.solve_stats import SolveStats
 
     run, args = runs[best["name"]]
@@ -174,10 +174,36 @@ def main():
         samples.append((time.perf_counter() - t0) / best["R"])
     stats = SolveStats.from_samples(np.asarray(samples))
 
-    # MFU / roofline from XLA's own cost model for the whole compiled program
-    rl = measure_roofline(run, args, call_s=stats.median_ms * 1e-3 * best["R"],
-                          solves_per_call=best["R"] * best["batch"])
-    rl_dict = rl.as_dict() if rl.flops_per_call else {"unavailable": True}
+    # MFU / roofline. XLA's cost model excludes custom-call (Pallas) bodies
+    # and undercounts the scanned fused program, so FLOPs come from the
+    # analytic per-phase model (every term names the op it counts —
+    # analysis/roofline.py); HBM bytes still come from the XLA cost model.
+    from lbmpc_tpu.analysis.roofline import (Roofline,
+                                             fused_sqp_flops_per_solve,
+                                             program_costs)
+
+    ne = (N - 2) * 5 + 4 + 1
+    phases = fused_sqp_flops_per_solve(
+        N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz,
+        sqp_iters=2, ipm_iters=16)
+    # the K=32 1-GN/10-IPM repair touches 32/2048 of lanes: < 2% extra
+    repair_frac_flops = (24.0 / 2048.0) * fused_sqp_flops_per_solve(
+        N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz,
+        sqp_iters=1, ipm_iters=8)["total"]
+    flops_per_solve = phases["total"] + (
+        repair_frac_flops if best["name"].startswith("hybrid") else 0.0)
+    xla_flops, xla_bytes = program_costs(run, *args)
+    solves_call = best["R"] * best["batch"]
+    rl = Roofline(flops_per_call=flops_per_solve * solves_call,
+                  bytes_per_call=xla_bytes,
+                  call_s=stats.median_ms * 1e-3 * best["R"],
+                  solves_per_call=solves_call)
+    rl_dict = rl.as_dict()
+    rl_dict["flops_model"] = "analytic (XLA cost model excludes Pallas custom calls; its count: %.0f/solve)" % (
+        xla_flops / max(solves_call, 1))
+    rl_dict["phase_flops_frac"] = {
+        k: round(v / phases["total"], 3) for k, v in phases.items()
+        if k != "total"}
 
     ref_solve_s = 0.115  # reference tracking-LMPC mean solve time (BASELINE.md)
     print(

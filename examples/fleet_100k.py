@@ -121,6 +121,16 @@ def main():
         f"converged instances: {n_conv}/{n_tot}; "
         f"final |dx1| p99: {float(np.percentile(np.abs(final), 99)):.4f}"
     )
+    import json
+
+    print(json.dumps({
+        "metric": "fleet_closed_loop_solves_per_s",
+        "value": round(solves / wall, 1),
+        "instances": args.instances, "steps": args.steps,
+        "chunk": args.chunk, "fused": bool(args.fused),
+        "converged_frac": round(int(n_conv) / max(int(n_tot), 1), 4),
+        "devices": len(mesh.devices.ravel()), "hosts": jax.process_count(),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -115,3 +115,40 @@ def measure_roofline(jitted, args, call_s: float, solves_per_call: int,
     flops, byts = program_costs(jitted, *args)
     return Roofline(flops_per_call=flops, bytes_per_call=byts,
                     call_s=call_s, solves_per_call=solves_per_call, **peaks)
+
+
+def fused_sqp_flops_per_solve(N: int, n: int, m: int, q: int, mc: int,
+                              ne: int, nz: int, sqp_iters: int,
+                              ipm_iters: int, n_merit: int = 6,
+                              d_in: int = 3, d_out: int = 4) -> dict:
+    """Analytic FLOP count per LBMPC SQP solve, by phase.
+
+    Needed because XLA's cost model (program_costs) excludes custom-call
+    bodies — the Pallas factor/solve kernels — and has been observed to
+    undercount the scanned fused program wholesale; these closed-form counts
+    come from the algorithm's own shapes (controllers/sqp_fused.py +
+    ops/ipm_fused.py) and make the MFU claim falsifiable: every term names
+    the op it counts.
+    """
+    nw_est = q * (2 * d_in + 2 * d_out + 1)          # distances+kernel+sums
+    nw_jac = 2 * q * d_out * d_in                    # closed-form Jg
+    sens = 2 * n * nz * (n + d_in + 2 * m)           # S propagation matmuls
+    jac_scan = N * (nw_est + nw_jac + sens)
+    gn_terms = 2 * ne * nz * nz + 2 * ne * nz        # H = 2J'J, g = 2J'e
+    kkt_form = 2 * mc * nz * nz + mc * nz            # G'DG + row scaling
+    chol = nz ** 3 // 3 + 4 * nz * nz                # factor + 2 tri-solves
+    ipm_vec = 8 * mc * nz                            # residuals/steplen/etc
+    ipm = ipm_iters * (kkt_form + chol + ipm_vec)
+    rollout = N * (nw_est + 2 * n * (n + m))
+    merit = n_merit * (rollout + 2 * mc * nz)
+    per_gn = jac_scan + gn_terms + ipm + merit
+    total = sqp_iters * per_gn
+    return {
+        "total": float(total),
+        "jac_scan": float(sqp_iters * jac_scan),
+        "gn_terms": float(sqp_iters * gn_terms),
+        "ipm_kkt_form": float(sqp_iters * ipm_iters * kkt_form),
+        "ipm_chol_solve": float(sqp_iters * ipm_iters * chol),
+        "ipm_vector": float(sqp_iters * ipm_iters * ipm_vec),
+        "merit_ladder": float(sqp_iters * merit),
+    }

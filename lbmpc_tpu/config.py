@@ -133,7 +133,9 @@ class ScenarioConfig:
     oracle: OracleConfig
     solver: SolverConfig
     controller: Literal["lmpc", "lbmpc", "nmpc"] = "lmpc"
-    family: Literal["fmincon", "casadi"] = "fmincon"
+    # "casadi_k": the explicit-prestabilization split u = Ks x + c of
+    # DMS_tracking_LMPC_casadi_K.m (condensed.build_casadi_dms_k)
+    family: Literal["fmincon", "casadi", "casadi_k"] = "fmincon"
     # BASELINE config 2: LBMPC with a FIXED (pretrained) oracle — no online
     # window updates; pair with a pretrained window via oracle_pretrain_npz
     learn_online: bool = True
@@ -254,6 +256,19 @@ def make_preset(name: str, **overrides) -> ScenarioConfig:
                 oracle=base_oracle,
                 solver=dataclasses.replace(base_solver, plant_integrator="rk4"),
                 controller="lmpc", family="casadi", iterations=500,
+            )
+        )
+        # Explicit-c decision split (ref: DMS_tracking_LMPC_casadi_K.m:78-87
+        # — N = N_t/delta = 100, 500 iterations, y = [x; c; u; theta] with
+        # u = Kstabil x + c as an equality; condensed exactly in
+        # controllers/condensed.build_casadi_dms_k)
+        _register(
+            ScenarioConfig(
+                name="DMS_LMPC_K", plant=base_plant,
+                ocp=OCPConfig(N=100, terminal_at="last"),
+                oracle=base_oracle,
+                solver=dataclasses.replace(base_solver, plant_integrator="rk4"),
+                controller="lmpc", family="casadi_k", iterations=500,
             )
         )
         # Regulation presets (ref: regular_NMPC_casadi.m / regular_LMPC_casadi.m

@@ -182,6 +182,104 @@ def build_fmincon_lmpc(
     )
 
 
+def build_casadi_dms_k(
+    A: np.ndarray,
+    B: np.ndarray,
+    Ks: np.ndarray,
+    Q: np.ndarray,
+    R: np.ndarray,
+    P: np.ndarray,
+    T: float,
+    LAMBDA: np.ndarray,
+    PSI: np.ndarray,
+    cs: ConstraintSet,
+    N: int,
+    delta: float,
+) -> CondensedQP:
+    """Condense the CasADi-family tracking OCP with the EXPLICIT
+    prestabilization split u = Ks x + c (ref: DMS_tracking_LMPC_casadi_K.m
+    :110-136 — decision y = [x; c; u; theta] with the equality
+    u_k = c_k + K (x_k - x_eq) at :293, eliminated exactly here).
+
+    After elimination the rollout is the prestabilized x_{k+1} =
+    (A + B Ks) x_k + B c_k with z = [c; theta], while cost and constraint
+    stage sets keep the casadi-family indexing (delta-scaled running cost on
+    ALL N stages, state rows x_1..x_N, input rows u_0..u_{N-1}, terminal
+    F_wN at x_N — :246-304) — i.e. the fmincon-family ROLLOUT with the
+    casadi-family STACKS."""
+    A = np.asarray(A, float)
+    B = np.asarray(B, float)
+    Ks = np.atleast_2d(np.asarray(Ks, float))
+    LAMBDA = np.atleast_2d(np.asarray(LAMBDA, float))
+    PSI = np.atleast_2d(np.asarray(PSI, float))
+    n, m = B.shape
+    nth = LAMBDA.shape[1]
+    nz = N * m + nth
+
+    Ak = A + B @ Ks
+    Sx, Sc = _rollout_operators(Ak, B, N)
+    th_sel = np.zeros((nth, nz))
+    th_sel[:, N * m :] = np.eye(nth)
+
+    def zsel_c(k):
+        E = np.zeros((m, nz))
+        E[:, k * m : (k + 1) * m] = np.eye(m)
+        return E
+
+    def x_op(k):
+        Mx = np.zeros((n, nz))
+        Mx[:, : N * m] = Sc[k]
+        return Mx, Sx[k]
+
+    def u_op(k):
+        Mx, Nx = x_op(k)
+        return Ks @ Mx + zsel_c(k), Ks @ Nx
+
+    H = np.zeros((nz, nz))
+    Gg = np.zeros((nz, n))
+    g0 = np.zeros(nz)
+
+    def add_term(M, Np_, r, W):
+        nonlocal H, Gg, g0
+        H += 2.0 * M.T @ W @ M
+        Gg += 2.0 * M.T @ W @ Np_
+        g0 += 2.0 * M.T @ W @ r
+
+    for k in range(0, N):
+        Mx, Nx = x_op(k)
+        add_term(Mx - LAMBDA @ th_sel, Nx, np.zeros(n), delta * np.asarray(Q, float))
+        Mu, Nu = u_op(k)
+        add_term(Mu - PSI @ th_sel, Nu, np.zeros(m), delta * np.asarray(R, float))
+    MxN, NxN = x_op(N)
+    add_term(MxN - LAMBDA @ th_sel, NxN, np.zeros(n), np.asarray(P, float))
+    add_term(LAMBDA @ th_sel, np.zeros((n, n)), np.zeros(n), T * np.eye(n))
+
+    G_rows, h0_rows, Hp_rows = [], [], []
+
+    def add_rows(Fmat, M, Np_, h):
+        G_rows.append(Fmat @ M)
+        h0_rows.append(np.asarray(h, float))
+        Hp_rows.append(-Fmat @ Np_)
+
+    for k in range(1, N + 1):
+        Mx, Nx = x_op(k)
+        add_rows(cs.F_x, Mx, Nx, cs.h_x)
+    for k in range(0, N):
+        Mu, Nu = u_op(k)
+        add_rows(cs.F_u, Mu, Nu, cs.h_u)
+    Fw_x = cs.F_w_N[:, :n]
+    Fw_th = cs.F_w_N[:, n:]
+    G_rows.append(Fw_x @ MxN + Fw_th @ th_sel)
+    h0_rows.append(cs.h_w_N)
+    Hp_rows.append(-Fw_x @ NxN)
+
+    return CondensedQP(
+        H=H, Gg=Gg, g0=g0,
+        G=np.vstack(G_rows), h0=np.concatenate(h0_rows), Hp=np.vstack(Hp_rows),
+        Sx=Sx, Sc=Sc, N=N, n=n, m=m,
+    )
+
+
 def build_casadi_dms(
     A: np.ndarray,
     B: np.ndarray,

@@ -142,6 +142,18 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
         )
         plant = lambda x, u: rk23_step(x, u[0], p.ts, ode=plant_ode)
         warm = lambda z, dx_used, dx_next, window: z  # fmincon reuses opt_var
+    elif cfg.family == "casadi_k":
+        # explicit prestabilization split (DMS_tracking_LMPC_casadi_K.m):
+        # casadi-family stage stacks over the prestabilized rollout; the
+        # applied input is u = Ks dx + c like the fmincon family
+        from lbmpc_tpu.controllers.condensed import build_casadi_dms_k
+
+        qp = build_casadi_dms_k(
+            A, B, ocp.Ks, ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI,
+            cs, N, delta=p.ts,
+        )
+        plant = lambda x, u: rk4_step(x, u[0], p.ts, substeps=1, ode=plant_ode)
+        warm = lambda z, dx_used, dx_next, window: z
     else:
         qp = build_casadi_dms(
             A, B, ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI, cs, N,
@@ -229,7 +241,8 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     else:
         raise ValueError(cfg.controller)
 
-    Ks_eff = ocp.Ks if cfg.family == "fmincon" else np.zeros_like(ocp.Ks)
+    Ks_eff = (ocp.Ks if cfg.family in ("fmincon", "casadi_k")
+              else np.zeros_like(ocp.Ks))
 
     @functools.partial(jax.jit, static_argnames=("steps",))
     def episode_from(dx_init, window0, z0, steps=cfg.iterations):

@@ -96,6 +96,19 @@ def calc_mrpis(Ak: np.ndarray, F_w: np.ndarray, h_w: np.ndarray, eps: float) -> 
     return Z.scale(1.0 / (1.0 - alpha))
 
 
+
+
+def roa_preimage(Ak: np.ndarray, W: Polytope, N: int) -> Polytope:
+    """Forward ROA variant (ref: utilities/ROA.m:5-19): the N-step preimage
+    of the terminal region W under the PRESTABILIZED closed loop x+ = Ak x —
+    {x : Ak^N x in W}. The reference iterates Polyhedron(F Ak, h) with a
+    no-op projection; algebraically each step maps F <- F Ak, so the result
+    is one matrix power. Redundant rows are pruned by the LP-based min_hrep
+    (what MPT's minVRep call amounted to)."""
+    Ak = np.asarray(Ak, float)
+    return Polytope(W.F @ np.linalg.matrix_power(Ak, N), W.h).min_hrep()
+
+
 def roa(
     Xf: Polytope,
     A: np.ndarray,

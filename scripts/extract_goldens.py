@@ -1,0 +1,31 @@
+"""Extract golden DATA fixtures from the reference's .mat files.
+
+Per the repo convention (CLAUDE.md): golden fixtures are DATA extracted from
+the reference's saved trajectories (never code) — the analog of how the
+reference itself ships term_set.mat. Round 1 extracted 22 fixtures by hand;
+this script records the mapping and adds the oracle window-size sweep
+(valid_qplots_LBMPC.m studied q in {10,50,100,200,500}; q in {50,200,500}
+were previously smoke-tested only — VERDICT r1 missing item 7).
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import scipy.io as sio
+
+REF = pathlib.Path("/root/reference/matlab/LBMPC/saved_data+plots/data")
+OUT = pathlib.Path(__file__).parent.parent / "tests" / "golden"
+
+
+def main():
+    for q in (50, 200, 500):
+        src = REF / "casadi" / f"DMS_tLBMPC_q{q}.mat"
+        dst = OUT / f"DMS_tLBMPC_q{q}.npy"
+        xlo = np.asarray(sio.loadmat(src)["xlo"], float)
+        np.save(dst, xlo)
+        print(f"{dst.name}: {xlo.shape} from {src.name}")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,11 +112,62 @@ def test_dms_lbmpc_n100_flagship_closed_loop_parity(golden):
     assert err[3].max() < 5e-2  # throttle-rate transient at solver-noise level
 
 
+def test_dms_lbmpc_q50_closed_loop_parity(golden):
+    """Oracle window-size sweep at the flagship N=100, q=50 (ref:
+    valid_qplots_LBMPC.m, data/casadi/DMS_tLBMPC_q50.mat; q in {10,100} in
+    test_parity.py). The 501-column golden duplicates the initial state."""
+    steps = 500 if RUN_SLOW else 150
+    cfg = make_preset("DMS_LBMPC_q50", iterations=steps)
+    assert cfg.ocp.N == 100
+    res = build_scenario(cfg).run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    ours = np.asarray(res.sys_history)[1 : steps + 1, :4] + x_wp
+    g = golden("DMS_tLBMPC_q50")
+    err = np.abs(ours.T - g[:, 1 : 1 + steps])
+    assert err[0].max() < 1e-4
+    assert err[1].max() < 2e-4
+    assert err[2].max() < 1e-2
+    assert err[3].max() < 5e-2  # throttle-rate transient at solver-noise level
+
+
+@pytest.mark.parametrize("q", [200, 500])
+def test_dms_lbmpc_q_large_window_filling_identity_and_golden_class(golden, q):
+    """q in {200, 500}: while the window is still FILLING (first 100 steps),
+    a q=200/500 run is mathematically identical to the q=100 run — the window
+    contents are the same points and the validity mask hides empty slots. The
+    reference's own data confirms this for q=50 vs q=100 (byte-identical
+    first 100 columns) — but its q200/q500 .mat files VIOLATE it (O(1)
+    deviation from its own q100 run inside the filling regime), i.e. they
+    were generated under a different protocol than valid_qplots_LBMPC.m
+    describes. Parity claims here are therefore (a) the filling-regime
+    identity on our side, and (b) the same ~1e-2 steady-state class against
+    the golden that the reference's own q100 run shows against it."""
+    steps = 150
+    cfg = make_preset(f"DMS_LBMPC_q{q}", iterations=steps)
+    res = build_scenario(cfg).run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    ours = np.asarray(res.sys_history)[1 : steps + 1, :4] + x_wp
+
+    res100 = build_scenario(make_preset("DMS_LBMPC_q100",
+                                        iterations=100)).run()
+    ours100 = np.asarray(res100.sys_history)[1:101, :4] + x_wp
+    assert np.abs(ours[:100] - ours100).max() < 1e-5  # filling identity
+
+    g = golden(f"DMS_tLBMPC_q{q}")
+    off = 1 if g.shape[1] == 501 else 0
+    err = np.abs(ours.T - g[:, off : off + steps])
+    # post-anomaly steady-state class (the golden's own q100 disagreement
+    # in the same window is ~8e-3)
+    assert err[:, 80:].max() < 3e-2
+
+
 def test_dms_lmpc_n100_600step_parity(golden):
-    """Tracking LMPC at N=100 over the full 600-step golden tLMPC (ref:
+    """Tracking LMPC at N=100 over the 600-step golden tLMPC (ref:
     examples/DMS_tracking_LMPC_casadi.m run logged as data/casadi/tLMPC.mat,
     overlaid against the flagship in saved_data+plots/compare.m:5)."""
-    steps = 600
+    steps = 600 if RUN_SLOW else 300
     cfg = make_preset("DMS_LMPC", iterations=steps)
     cfg = dataclasses.replace(cfg, ocp=dataclasses.replace(cfg.ocp, N=100))
     sc = build_scenario(cfg)
@@ -130,7 +181,7 @@ def test_dms_lmpc_n100_600step_parity(golden):
     assert err[1].max() < 2e-4
     assert err[2].max() < 1e-2
     # steady state: everything re-converges after the transient
-    assert err[:, 400:].max() < 1e-3
+    assert err[:, 250:].max() < 1e-3
 
 
 def test_nmpc_casadi_n100_600step_parity(golden):
@@ -153,6 +204,47 @@ def test_nmpc_casadi_n100_600step_parity(golden):
     assert err[1].max() < 1e-5
     assert err[2].max() < 1e-4
     assert err[3].max() < 1e-2
+
+
+def test_dms_lmpc_k_explicit_split_closed_loop_parity(golden):
+    """Explicit-c decision split (ref: DMS_tracking_LMPC_casadi_K.m:110-136,
+    y = [x; c; u; theta] with u = Kstabil x + c as an equality) vs its own
+    golden data/casadi/DMS_tLMPC_K.mat. Envelope tolerances per
+    docs/NOISE_FLOOR.md (x4 transient at the solver-class floor)."""
+    steps = 500 if RUN_SLOW else 200
+    sc = build_scenario(make_preset("DMS_LMPC_K", iterations=steps))
+    res = sc.run()
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(sc.cfg.plant.x_wp)
+    ours = np.asarray(res.sys_history)[:steps, :4] + x_wp
+    g = golden("DMS_tLMPC_K")
+    err = np.abs(ours.T - g[:, :steps])
+    assert err[0].max() < 1e-4
+    assert err[1].max() < 2e-4
+    assert err[2].max() < 5e-3
+    assert err[3].max() < 2.0          # transient envelope
+    assert err[:, 150:].max() < 5e-3   # re-lock
+
+
+def test_dms_lmpc_k_split_equals_direct_parametrization():
+    """The split is exact: eliminating u = Ks x + c gives the SAME OCP as
+    the direct du parametrization (DMS_tracking_LMPC_casadi.m) in different
+    coordinates — the optimal applied input must match pointwise."""
+    cfg_k = make_preset("DMS_LMPC_K")
+    cfg_d = dataclasses.replace(make_preset("DMS_LMPC"),
+                                ocp=dataclasses.replace(
+                                    make_preset("DMS_LMPC").ocp, N=100))
+    sc_k = build_scenario(cfg_k)
+    sc_d = build_scenario(cfg_d)
+    Ks = jnp.asarray(np.atleast_2d(sc_k.ocp.Ks))
+    for dx in ([-0.35, -0.4, 0.0, 0.0], [0.1, -0.05, 0.02, 1.0]):
+        dxj = jnp.asarray(dx)
+        z_k, conv_k = sc_k.solve(dxj, None, jnp.zeros(sc_k.nz))
+        z_d, conv_d = sc_d.solve(dxj, None, jnp.zeros(sc_d.nz))
+        assert bool(conv_k) and bool(conv_d)
+        du_k = (Ks @ dxj + z_k[:1])[0]
+        du_d = z_d[0]
+        assert abs(float(du_k - du_d)) < 1e-7
 
 
 def test_noise_floor_transient_contraction():

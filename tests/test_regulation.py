@@ -41,11 +41,11 @@ def test_reg_nmpc_episode_converges_to_equilibrium():
 def test_reg_lmpc_episode_converges_to_equilibrium():
     """REG_LMPC (nominal-DLTI prediction — regular_LMPC_casadi.m): regulation
     drives the plant toward the equilibrium."""
-    cfg = make_preset("REG_LMPC", iterations=400)
+    cfg = make_preset("REG_LMPC", iterations=250)
     res = build_scenario(cfg).run()
     assert bool(res.solver_converged.all())
     h = np.asarray(res.sys_history)
-    assert abs(h[-1, 0]) < 0.25 * abs(h[0, 0])
+    assert abs(h[-1, 0]) < 0.25 * abs(h[0, 0])  # measured 0.194 at 250 steps
     assert np.abs(np.asarray(res.art_history)).max() < 1e-12
 
 
