@@ -139,6 +139,11 @@ class ScenarioConfig:
     # BASELINE config 2: LBMPC with a FIXED (pretrained) oracle — no online
     # window updates; pair with a pretrained window via oracle_pretrain_npz
     learn_online: bool = True
+    # collect oracle data even when the controller does not consume it —
+    # the LBMPC_casadi.m variant optimizes against the NOMINAL dynamics
+    # (its learned constraint is commented out at :292-293) while still
+    # acquiring the oracle window every step (:195-198)
+    collect_data: bool = False
     iterations: int = 1000
     # fmincon family: delta-coordinate init (ref: LBMPC_RunExample.m:41-44)
     dx_init: tuple = (-0.35, -0.4, 0.0, 0.0)
@@ -256,6 +261,21 @@ def make_preset(name: str, **overrides) -> ScenarioConfig:
                 oracle=base_oracle,
                 solver=dataclasses.replace(base_solver, plant_integrator="rk4"),
                 controller="lmpc", family="casadi", iterations=500,
+            )
+        )
+        # LBMPC_casadi.m (MX single-shooting-ish variant): cost rolls out the
+        # NOMINAL dynamics (the learned constraint is commented out in the
+        # reference, :292-293) while the oracle window is still acquired
+        # online (:195-198) — i.e. tracking LMPC + data collection.
+        _register(
+            ScenarioConfig(
+                name="MX_LBMPC", plant=base_plant,
+                ocp=OCPConfig(N=100, terminal_at="first",
+                              tighten_first_step=True),
+                oracle=base_oracle,
+                solver=dataclasses.replace(base_solver, plant_integrator="rk4"),
+                controller="lmpc", family="casadi", iterations=500,
+                collect_data=True,
             )
         )
         # Explicit-c decision split (ref: DMS_tracking_LMPC_casadi_K.m:78-87

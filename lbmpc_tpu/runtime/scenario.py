@@ -198,7 +198,9 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
                 z, sol = lin_solve(dx)
                 return z, sol.converged
 
-        learn = False
+        # LMPC ignores the window, but the MX_LBMPC variant still collects
+        # oracle data every step (config.collect_data; ref LBMPC_casadi.m)
+        learn = getattr(cfg, "collect_data", False)
     elif cfg.controller == "lbmpc":
         if qp_backend == "sparse":
             from lbmpc_tpu.controllers.lbmpc import make_lbmpc_solver_sparse

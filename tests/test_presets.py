@@ -127,3 +127,32 @@ def test_mg2_robust_tube_preset():
     assert float(np.mean(np.asarray(res.solver_converged))) > 0.99
     assert np.linalg.norm(h[-1, :2]) < 0.02
     assert np.abs(h[:, 0]).max() <= 0.5 + 0.02 + 1e-6
+
+
+def test_mx_lbmpc_preset_nominal_cost_with_data_collection():
+    """LBMPC_casadi.m variant (MX): the cost optimizes the NOMINAL dynamics
+    (learned constraint commented out in the reference, :292-293) while the
+    oracle window is still acquired every step (:195-198). The control law
+    must therefore equal tracking LMPC with the same stacks, and the episode
+    must come back with a filled window."""
+    import dataclasses
+
+    import numpy as np
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.runtime.scenario import build_scenario
+
+    steps = 40
+    mx = build_scenario(make_preset("MX_LBMPC", iterations=steps))
+    res = mx.run()
+    assert bool(res.solver_converged.all())
+    # window collected despite the LMPC control law (init_window seeds a
+    # valid (0,0) observation like both reference families, hence +1)
+    assert int(np.asarray(res.final_window.count)) == steps + 1
+    # identical control trajectory to the plain LMPC with the same stacks
+    plain_cfg = dataclasses.replace(make_preset("MX_LBMPC", iterations=steps),
+                                    collect_data=False)
+    plain = build_scenario(plain_cfg).run()
+    assert int(np.asarray(plain.final_window.count)) == 1  # seed only
+    np.testing.assert_allclose(np.asarray(res.sys_history),
+                               np.asarray(plain.sys_history), atol=1e-12)
