@@ -17,10 +17,11 @@ Usage (one v5e chip, ~2 min):   python examples/fleet_100k.py
 
 import argparse
 import dataclasses
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main():
@@ -39,6 +40,10 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="batch-level episodes on the fused QP backend "
                          "(run_closed_loop_batched; fastest per solve)")
+    ap.add_argument("--backend", default="hybrid",
+                    choices=["fused", "hybrid"],
+                    help="fused cohort solver; 'hybrid' (default) adds the "
+                         "gather-compacted per-step repair (conv 1.0)")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +51,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+    jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).resolve().parent.parent / ".cache" / "jax"))
     import jax.numpy as jnp
     import numpy as np
 
@@ -75,13 +80,16 @@ def main():
     sc = build_scenario(cfg)
 
     if not args.chunk:
+        # exact constraint-row count of this scenario's condensed stack
+        mI = ((args.N - 1) * (sc.cs.F_x.shape[0] + sc.cs.F_u.shape[0])
+              + sc.cs.F_w_N.shape[0]
+              + (sc.cs.F_x_d.shape[0] if sc.cs.F_x_d is not None else 0))
         budget = estimate_fleet_budget(
             n=4, m=1, nth=1, N=args.N, q=cfg.oracle.q, iterations=args.steps,
-            fleet=args.instances)
+            fleet=args.instances, mI=int(mI))
         if not budget["fits"]:
             sys.exit(f"fleet does not fit HBM: {budget}")
-        # per-chip validated ceiling is 8192 (see docstring of the estimator)
-        args.chunk = min(budget["max_chunk"], 8192, args.instances)
+        args.chunk = min(budget["max_chunk"], args.instances)
         print(f"chunk auto-picked: {args.chunk} (budget {budget})")
 
     rng = np.random.default_rng(0)
@@ -95,7 +103,7 @@ def main():
     if args.fused:
         from lbmpc_tpu.runtime.scenario import build_fleet_episode
 
-        _, run_cohort = build_fleet_episode(cfg)
+        _, run_cohort = build_fleet_episode(cfg, backend=args.backend)
 
         def run(dx_all):
             cohorts = dx_all.reshape(-1, args.chunk, dx_all.shape[-1])
@@ -103,6 +111,12 @@ def main():
             return jax.tree.map(lambda *a: jnp.concatenate(a), *outs)
     else:
         run = fleet_runner(sc.episode, mesh, chunk=args.chunk)
+
+    # warm-up: compile the cohort program before timing (remote compiles run
+    # 10-100 s; round-2 cold-timed runs understated throughput ~5x)
+    warm = run(dx0[: args.chunk]) if args.fused else None
+    if warm is not None:
+        np.asarray(warm.sys_history[:1, -1, 0])
 
     t0 = time.perf_counter()
     res = run(dx0)

@@ -274,19 +274,24 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
 
 def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
                         sqp_iters: int | None = None,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        backend: str = "fused",
+                        repair_frac: float = 1.0 / 85.0):
     """Batch-level LBMPC episode on the fused QP backend (f32 throughput path).
 
     Returns (scenario, run(dx_init (B, n)) -> batched ClosedLoopResult). The
     whole cohort advances through one jitted scan whose QP subproblems are the
     batch-level fused Mehrotra solver (ops/ipm_fused + Pallas factor/solve) —
     the fastest per-solve path on TPU (bench.py backend_impl="fused_sqp").
-    fmincon-family LBMPC only.
+    backend="hybrid" adds the gather-compacted per-step repair (the headline
+    bench configuration: conv 1.0 at ~4% step cost). fmincon-family LBMPC
+    only.
     """
     cfg = name_or_cfg if isinstance(name_or_cfg, ScenarioConfig) else make_preset(name_or_cfg)
     if cfg.controller != "lbmpc" or cfg.family != "fmincon":
         raise ValueError("fused fleet episodes support fmincon-family LBMPC only")
-    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
+    from lbmpc_tpu.controllers.sqp_fused import (make_lbmpc_solver_fused,
+                                                 make_lbmpc_solver_hybrid)
     from lbmpc_tpu.models.mgcm import mg2_ode, rk23_step
     from lbmpc_tpu.runtime.closed_loop import run_closed_loop_batched
 
@@ -302,7 +307,12 @@ def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
     ))
     w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
                           sc.ocp.LAMBDA, sc.ocp.PSI)
-    solve_batch = make_lbmpc_solver_fused(
+    factory = (make_lbmpc_solver_hybrid if backend == "hybrid"
+               else make_lbmpc_solver_fused)
+    extra = (dict(repair_frac=repair_frac, repair_sqp_iters=1,
+                  repair_ipm_iters=8, repair_warm="fused")
+             if backend == "hybrid" else {})
+    solve_batch = factory(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=p.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref),
@@ -310,6 +320,7 @@ def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
         ipm_iters=ipm_iters or cfg.solver.ipm_iters,
         # Pallas kernels need interpret mode off-TPU
         interpret=(jax.default_backend() != "tpu") if interpret is None else interpret,
+        **extra,
     )
     f32 = jnp.float32
     plant = lambda x, u: rk23_step(x, u[0], p.ts, ode=plant_ode)

@@ -139,6 +139,8 @@ def estimate_fleet_budget(
     work_bytes: int = 4,
     hbm_bytes: int = 16 << 30,   # v5e: 16 GiB per chip
     safety: float = 2.5,
+    mI: int | None = None,
+    fused_kkt_copies: float = 33.0,
 ) -> dict:
     """HBM budget model for fleet episodes (ROADMAP coverage item 6).
 
@@ -146,17 +148,19 @@ def estimate_fleet_budget(
       - fleet outputs: lax.scan stacks every cohort's ClosedLoopResult, so the
         WHOLE fleet's histories live in HBM at once —
         iterations * (n + 2m + 1) numbers per instance (sys/art/conv logs);
-      - cohort working set: per-lane solver live set, dominated by the
-        Gauss-Newton Jacobian (ne x nz), a few (nz x nz) KKT buffers
-        (M/L/scaled copies), the constraint stack row (mI,), and the oracle
-        window (q x (d_in + d_out + 1)).
+      - cohort working set: per-lane solver live set, dominated by the fused
+        QP's per-lane KKT intermediates — the D-scaled constraint stack
+        (mI x nz) and its XLA temporaries/double-buffers, `fused_kkt_copies`
+        of them — plus the Gauss-Newton Jacobian (ne x nz), (nz x nz) factor
+        buffers, and the oracle window.
 
-    `safety` covers XLA temporaries/fragmentation. Calibration points (one
-    real v5e chip): a 131072-instance fleet with f32 histories at chunk 8192
-    runs (model: max_chunk 65536 at safety=2.5), while the same fleet with f64
-    histories at chunk 16384 crashes the TPU worker (model: does not fit at
-    all — max_chunk 0 — at safety=2.5; it sat exactly at the boundary at
-    safety=2, so the default stays conservative).
+    `safety` covers fragmentation. Calibration (one real v5e chip,
+    2026-08-21, f32, N=20, q=32, mI=214): a 131072-instance fused fleet runs
+    at chunk 8192 and FAILS (TPU backend OOM-class error) at chunk 16384;
+    fused_kkt_copies=33 places the model's max_chunk at exactly the
+    validated 8192 — i.e. per-lane live set ~600 KB, 20x the naive
+    array-count estimate (round 1 used that and over-promised 65536). The
+    earlier f64-history crash point (chunk 16384, round 1) is consistent.
 
     Returns dict with per_instance_out, per_lane_work (bytes), fleet_out,
     max_chunk (largest power of two whose cohort fits beside the outputs;
@@ -164,14 +168,15 @@ def estimate_fleet_budget(
     """
     nz = N * m + nth
     ne = (N - 2) * (n + m) + n + n          # fmincon residual stack
-    mI_guess = 30 * N + 640                  # constraint rows (~616-row MPIS)
+    mI_guess = mI if mI is not None else 30 * N + 640
     per_instance_out = iterations * (n + 2 * m + 1) * history_bytes
     per_lane_work = work_bytes * (
-        ne * nz                 # J
-        + 4 * nz * nz           # Hb + M + L + equilibrated copy
-        + 2 * mI_guess          # h rows + slack/dual vectors
+        fused_kkt_copies * mI_guess * nz   # D-scaled stack + XLA temporaries
+        + ne * nz                 # J
+        + 4 * nz * nz             # Hb + M + L + equilibrated copy
+        + 2 * mI_guess            # h rows + slack/dual vectors
         + q * (d_in + d_out + 1)  # oracle window
-        + 4 * ne                # residual + merit temporaries
+        + 4 * ne                  # residual + merit temporaries
     )
     fleet_out = fleet * per_instance_out
     avail = hbm_bytes / safety - fleet_out
