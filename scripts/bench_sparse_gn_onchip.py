@@ -3,12 +3,11 @@
 VERDICT r1 item 5 'done' criterion: N=300 LBMPC beats condensed on-chip.
 Benchmarks the full LBMPC SQP solve (learned-rollout GN + constraints) per
 backend at N in {20, 100, 300}, batched + scan-amortized (CLAUDE.md
-dispatch-floor note). f32 for throughput? No: the sparse GN path currently
-ships f64 (its f32 grade is untested); both backends run f64 here so the
-comparison is factorization-vs-factorization at equal precision.
+dispatch-floor note). DTYPE=f32 (default; both backends dtype-matched —
+sparse_gn carries the same dtype-aware guards as sparse_ipm) or f64.
 
 Usage: PLAT=axon,cpu python scripts/bench_sparse_gn_onchip.py
-Env: NS=20,100,300  SPECS=batch,R;...  ITERS / SQP
+Env: NS=20,100,300  SPECS=batch,R;...  ITERS / SQP / DTYPE
 """
 
 import json
@@ -41,6 +40,7 @@ def main():
     from lbmpc_tpu.runtime.scenario import build_scenario
 
     q = 32
+    dt = jnp.float64 if os.environ.get("DTYPE") == "f64" else jnp.float32
     horizons = [int(v) for v in os.environ.get("NS", "20,100,300").split(",")]
     specs = [tuple(int(v) for v in p.split(","))
              for p in os.environ.get("SPECS", "64,4").split(";")]
@@ -50,14 +50,14 @@ def main():
 
     def bench(tag, N, batch, R, solve, nz):
         dx = jnp.asarray(np.array([-0.35, -0.4, 0.0, 0.0])
-                         + 0.01 * rng.standard_normal((R, batch, 4)))
-        window = init_window(q)
+                         + 0.01 * rng.standard_normal((R, batch, 4)), dt)
+        window = init_window(q, dtype=dt)
         windows = type(window)(
-            X=jnp.asarray(0.1 * rng.standard_normal((R, batch, q, 3))),
-            Y=jnp.asarray(0.001 * rng.standard_normal((R, batch, q, 4))),
-            valid=jnp.ones((R, batch, q)),
+            X=jnp.asarray(0.1 * rng.standard_normal((R, batch, q, 3)), dt),
+            Y=jnp.asarray(0.001 * rng.standard_normal((R, batch, q, 4)), dt),
+            valid=jnp.ones((R, batch, q), dt),
             count=jnp.full((R, batch), q, jnp.int32))
-        z0 = jnp.zeros((R, batch, nz))
+        z0 = jnp.zeros((R, batch, nz), dt)
         solve_b = jax.vmap(solve)
 
         @jax.jit
@@ -66,7 +66,8 @@ def main():
                 d, w_, z = inp
                 zz, conv = solve_b(d, w_, z)
                 return acc + jnp.sum(zz[:, 0]), conv
-            return jax.lax.scan(body, jnp.float64(0.0), (dxs, ws, zs))
+            with jax.default_matmul_precision("highest"):
+                return jax.lax.scan(body, dt(0.0), (dxs, ws, zs))
 
         t0 = time.perf_counter()
         out = run(dx, windows, z0)
@@ -86,14 +87,18 @@ def main():
             compile_s=round(compile_s, 1))), flush=True)
 
     for N in horizons:
+        only = os.environ.get("PATHS")
         for backend in ("condensed", "sparse"):
+            if only and backend not in only.split(","):
+                continue
             cfg = make_preset("LBMPC_N40")
             cfg = dataclasses.replace(
                 cfg, ocp=dataclasses.replace(cfg.ocp, N=N),
                 oracle=dataclasses.replace(cfg.oracle, q=q),
                 solver=dataclasses.replace(
                     cfg.solver, qp_backend=backend, sqp_iters=sqp_iters,
-                    ipm_iters=ipm_iters))
+                    ipm_iters=ipm_iters,
+                    dtype="float64" if dt == jnp.float64 else "float32"))
             sc = build_scenario(cfg)
             for batch, R in specs:
                 bench(backend, N, batch, R, sc.solve, sc.nz)
