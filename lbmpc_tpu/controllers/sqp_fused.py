@@ -91,32 +91,23 @@ def make_lbmpc_solver_fused(
                                        if a.dtype != jnp.int32 else a, windows),
                           z_ws.astype(f32))
 
-    n_alpha = len(_ALPHAS)
-
     def _solve(dx0, windows, z):
         h = h0d[None, :] + dx0 @ Hpd.T
-        B = dx0.shape[0]
-        # merit-ladder batching: all 1 + n_alpha candidate points run through
-        # ONE batched rollout (the headline path is issue-bound — ROADMAP
-        # lever 1a: 6 sequential N-step scans become one scan at 6x batch)
-        dx0_tile = jnp.tile(dx0, (1 + n_alpha, 1))
-        win_tile = jax.tree.map(
-            lambda a: jnp.tile(a, (1 + n_alpha,) + (1,) * (a.ndim - 1)),
-            windows)
-        h_tile = jnp.tile(h, (1 + n_alpha, 1))
 
-        def merit_ladder(zb, d):
-            """merit at zb and at zb + a*d for every alpha: (1+n_alpha, B)."""
-            Zs = jnp.concatenate(
-                [zb[None]] + [zb[None] + a * d[None] for a in _ALPHAS], axis=0)
-            Zf = Zs.reshape(-1, Zs.shape[-1])
-            e = res_b(Zf, dx0_tile, win_tile)
-            cost = jnp.sum(e * e, axis=1)
-            viol = jnp.sum(jnp.maximum(Zf @ Gd.T - h_tile, 0.0), axis=1)
-            m = (cost + rho * viol).reshape(1 + n_alpha, B)
-            return m, viol.reshape(1 + n_alpha, B)
+        def cost(zb):
+            e = res_b(zb, dx0, windows)
+            return jnp.sum(e * e, axis=1)
 
-        mu_last = jnp.zeros((B,), f32)
+        def merit(zb):
+            viol = jnp.sum(jnp.maximum(zb @ Gd.T - h, 0.0), axis=1)
+            return cost(zb) + rho * viol, viol
+
+        # NOTE (measured, 2026-08-21): batching the 6 merit evaluations into
+        # one 6x-tiled rollout REGRESSES the headline 9.6 -> 12.6 ms/step:
+        # inside one XLA program the sequential rollouts already pipeline
+        # (no per-op dispatch to save), and the 6x window tiling only adds
+        # HBM traffic. Keep the straightforward sequential ladder.
+        mu_last = jnp.zeros((dx0.shape[0],), f32)
         for _ in range(sqp_iters):
             e, J = resjac_b(z, dx0, windows)               # (B, ne), (B, ne, nz)
             Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
@@ -125,8 +116,7 @@ def make_lbmpc_solver_fused(
             sub = fused.raw_with_H(Hb, gb, h - z @ Gd.T)
             d = sub.x
             mu_last = sub.mu
-            m_all, v_all = merit_ladder(z, d)
-            m0, v0 = m_all[0], v_all[0]
+            m0, v0 = merit(z)
             dirderiv = jnp.sum(gb * d, axis=1) - rho * v0
             # fixed Armijo ladder, batched; if every alpha is rejected (e.g. a
             # diverged f32 QP direction, possibly NaN), take NO step — a NaN
@@ -134,9 +124,9 @@ def make_lbmpc_solver_fused(
             # step blindly by the smallest alpha and poison itself
             accepted = jnp.zeros_like(m0, bool)
             alpha_sel = jnp.zeros_like(m0)
-            for i, a in enumerate(_ALPHAS):
-                ok = jnp.logical_and(
-                    ~accepted, m_all[1 + i] <= m0 + 1e-4 * a * dirderiv)
+            for a in _ALPHAS:
+                m_a, _ = merit(z + a * d)
+                ok = jnp.logical_and(~accepted, m_a <= m0 + 1e-4 * a * dirderiv)
                 alpha_sel = jnp.where(ok, a, alpha_sel)
                 accepted = jnp.logical_or(accepted, ok)
             d = jnp.where(jnp.isfinite(d), d, 0.0)

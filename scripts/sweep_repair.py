@@ -130,6 +130,7 @@ def main():
             audit_c0_p50=float(np.median(err)), audit_c0_max=float(err.max()),
             compile_s=round(compile_s, 1))), flush=True)
 
+    bs, bi = (int(v) for v in os.environ.get("BASE", "2,16").split(","))
     configs = [(32, 1, 20, "fused"), (32, 2, 20, "fused"),
                (64, 1, 20, "fused"), (64, 2, 25, "fused"),
                (128, 3, 30, "ws")]
@@ -140,15 +141,15 @@ def main():
             configs.append((int(k_), int(rs_), int(ri_), warm_))
     else:
         base = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w, **kw,
-                                       sqp_iters=2, ipm_iters=16)
-        measure("fused_s2i16", base)
+                                       sqp_iters=bs, ipm_iters=bi)
+        measure(f"fused_s{bs}i{bi}", base)
 
     for K, rs, ri, warm in configs:
         h = make_lbmpc_solver_hybrid(
-            qp, sc.A, sc.B, sc.ocp.Ks, w, **kw, sqp_iters=2, ipm_iters=16,
+            qp, sc.A, sc.B, sc.ocp.Ks, w, **kw, sqp_iters=bs, ipm_iters=bi,
             repair_frac=K / batch, repair_sqp_iters=rs, repair_ipm_iters=ri,
             repair_warm=warm)
-        measure(f"s2i16+rep_K{K}_s{rs}i{ri}_{warm}", h)
+        measure(f"s{bs}i{bi}+rep_K{K}_s{rs}i{ri}_{warm}", h)
 
     if os.environ.get("FLEET"):
         from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fleet

@@ -187,8 +187,9 @@ def test_dms_lmpc_n100_600step_parity(golden):
 def test_nmpc_casadi_n100_600step_parity(golden):
     """Tracking NMPC at N=100 vs the 600-step golden tNMPC (ref:
     examples/DMS_tracking_NMPC_casadi.m:79-87 N_t=1.0 => N=100; golden
-    data/casadi/tNMPC.mat, compare.m:6)."""
-    steps = 600 if RUN_SLOW else 150
+    data/casadi/tNMPC.mat, compare.m:6). The golden's 600 columns are
+    x_0..x_599, so the longest comparable run is 599 steps."""
+    steps = 599 if RUN_SLOW else 150
     cfg = make_preset("NMPC_N50", iterations=steps)
     cfg = dataclasses.replace(
         cfg, family="casadi", ocp=dataclasses.replace(cfg.ocp, N=100)
