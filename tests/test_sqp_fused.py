@@ -155,3 +155,57 @@ def test_manual_gauss_newton_jacobian_matches_jacfwd():
         d0 = np.abs(np.asarray(z_m)[:, 0] - np.asarray(z_a)[:, 0])
         assert np.median(d0) < 1e-5, family
         assert d0.max() < 5e-2, family
+
+
+def test_hybrid_repair_warm_seeded_and_fleet_deferred():
+    """Round-2 repair variants: repair_warm='fused' (seed the re-solve at the
+    fused iterate with a reduced budget — the headline bench configuration)
+    and the deferred whole-call repair (make_lbmpc_solver_fleet) both recover
+    every flagged lane."""
+    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fleet
+
+    A, B, C, _ = mgcm_dlti()
+    ocp = mat_ocp(A, B, C)
+    cs = get_cons_poly(
+        x_min=[0.0, 1.1875, 0.1547, -20.0], x_max=[1.0, 2.1875, 2.1547, 20.0],
+        u_min=0.1547, u_max=2.1547, state_uncert=[0.02, 5e-4, 0, 0],
+        x_wp=[0.5, 1.6875, 1.1547, 0.0], u_wp=1.1547,
+        A=A, B=B, Q=np.eye(4), R=np.eye(1),
+        LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+    )
+    qp = build_fmincon_lmpc(A, B, ocp.Ks, ocp.Q, ocp.R, ocp.P, ocp.T,
+                            ocp.LAMBDA, ocp.PSI, cs, 20,
+                            terminal_at="first", tighten_first_step=True)
+    w = LBMPCWeights.make(ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI)
+    rng = np.random.default_rng(2)
+    batch, q = 64, 32
+    dx0 = jnp.asarray(np.array([-0.35, -0.4, 0.0, 0.0])
+                      + 0.01 * rng.standard_normal((batch, 4)))
+    win = init_window(q)
+    wins = type(win)(
+        X=jnp.asarray(0.1 * rng.standard_normal((batch, q, 3))),
+        Y=jnp.asarray(0.001 * rng.standard_normal((batch, q, 4))),
+        valid=jnp.ones((batch, q)), count=jnp.full((batch,), q, jnp.int32),
+    )
+    z0 = jnp.zeros((batch, qp.nz))
+    # warm-seeded repair with the (starved-base, healthy-repair) pattern
+    hyb = make_lbmpc_solver_hybrid(qp, A, B, ocp.Ks, w, sqp_iters=2,
+                                   ipm_iters=1, tile=64, interpret=True,
+                                   repair_frac=1.0, repair_sqp_iters=2,
+                                   repair_ipm_iters=25, repair_warm="fused")
+    zh, conv_h = hyb(dx0, wins, z0)
+    assert float(np.asarray(conv_h).mean()) == 1.0
+    assert bool(np.isfinite(np.asarray(zh)).all())
+
+    # deferred whole-call repair over R stacked batches
+    R = 2
+    fleet = make_lbmpc_solver_fleet(
+        qp, A, B, ocp.Ks, w, sqp_iters=2, ipm_iters=1,
+        repair_frac=1.0, repair_sqp_iters=2, repair_ipm_iters=25,
+        tile=64, interpret=True)
+    dxR = jnp.stack([dx0, dx0 + 0.001])
+    winsR = jax.tree.map(lambda a: jnp.stack([a, a]), wins)
+    z0R = jnp.zeros((R, batch, qp.nz))
+    zf, convf = fleet(dxR, winsR, z0R)
+    assert zf.shape == (R, batch, qp.nz)
+    assert float(np.asarray(convf).mean()) == 1.0
