@@ -131,6 +131,7 @@ def main():
             compile_s=round(compile_s, 1))), flush=True)
 
     bs, bi = (int(v) for v in os.environ.get("BASE", "2,16").split(","))
+    tile = int(os.environ.get("TILE", "512"))
     configs = [(32, 1, 20, "fused"), (32, 2, 20, "fused"),
                (64, 1, 20, "fused"), (64, 2, 25, "fused"),
                (128, 3, 30, "ws")]
@@ -147,9 +148,10 @@ def main():
     for K, rs, ri, warm in configs:
         h = make_lbmpc_solver_hybrid(
             qp, sc.A, sc.B, sc.ocp.Ks, w, **kw, sqp_iters=bs, ipm_iters=bi,
+            tile=tile,
             repair_frac=K / batch, repair_sqp_iters=rs, repair_ipm_iters=ri,
             repair_warm=warm)
-        measure(f"s{bs}i{bi}+rep_K{K}_s{rs}i{ri}_{warm}", h)
+        measure(f"s{bs}i{bi}+rep_K{K}_s{rs}i{ri}_{warm}_t{tile}", h)
 
     if os.environ.get("FLEET"):
         from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fleet
