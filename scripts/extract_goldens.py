@@ -25,6 +25,16 @@ def main():
         xlo = np.asarray(sio.loadmat(src)["xlo"], float)
         np.save(dst, xlo)
         print(f"{dst.name}: {xlo.shape} from {src.name}")
+    # pretrained q=500 run (hybrid variant with train_data preloaded)
+    src = REF / "casadi" / "DMS_tLBMPC_q500_pretrained.mat"
+    np.save(OUT / "DMS_tLBMPC_q500_pretrained.npy",
+            np.asarray(sio.loadmat(src)["xlo"], float))
+    # remaining solve-time sample files of the SURVEY §6 baseline table
+    for name in ("intelCPU_solve_sample_full", "solve_sample_reg"):
+        d = sio.loadmat(REF / "casadi" / f"{name}.mat")
+        arr = np.vstack([d[f"solve_times_{i}"] for i in range(1, 6)])
+        np.save(OUT / f"{name}.npy", arr)
+        print(f"{name}.npy: {arr.shape}")
 
 
 if __name__ == "__main__":

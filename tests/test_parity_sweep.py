@@ -207,6 +207,33 @@ def test_nmpc_casadi_n100_600step_parity(golden):
     assert err[3].max() < 1e-2
 
 
+def test_dms_lbmpc_q500_pretrained_closed_loop_parity(golden):
+    """Pretrained-oracle run (BASELINE config 2 semantics): the q=500 window
+    preloaded from train_data (7x500) with online updates continuing, vs
+    data/casadi/DMS_tLBMPC_q500_pretrained.mat (generated by the hybrid
+    variant with its commented-out `load('train_data.mat')` enabled —
+    hybrid_LBMPC_casadi.m:122; the hybrid oracle-in-cost form IS our
+    condensed casadi-family LBMPC, docs/PARITY.md)."""
+    from lbmpc_tpu.oracle import window_from_arrays
+
+    steps = 500 if RUN_SLOW else 150
+    cfg = make_preset("DMS_LBMPC_q500", iterations=steps)
+    sc = build_scenario(cfg)
+    td = golden("train_data")                    # (7, 500)
+    w0 = window_from_arrays(td[:3], td[3:7], q=500)
+    dx0 = jnp.asarray(np.asarray(cfg.x_init_abs) - np.asarray(cfg.plant.x_wp))
+    res = sc.episode_with_window(dx0, w0)
+    assert bool(res.solver_converged.all())
+    x_wp = np.asarray(cfg.plant.x_wp)
+    ours = np.asarray(res.sys_history)[1 : steps + 1, :4] + x_wp
+    g = golden("DMS_tLBMPC_q500_pretrained")     # (4, 501), col 0 duplicated
+    err = np.abs(ours.T - g[:, 1 : 1 + steps])
+    assert err[0].max() < 1e-4
+    assert err[1].max() < 1e-4
+    assert err[2].max() < 1e-3
+    assert err[3].max() < 1e-1   # x4 transient at the solver-class floor
+
+
 def test_dms_lmpc_k_explicit_split_closed_loop_parity(golden):
     """Explicit-c decision split (ref: DMS_tracking_LMPC_casadi_K.m:110-136,
     y = [x; c; u; theta] with u = Kstabil x + c as an equality) vs its own
@@ -286,6 +313,16 @@ def test_solve_stats_reproduce_reference_baseline(golden):
     assert abs(lmpc.mean_ms - 115.0) < 0.5
     assert abs(lmpc.median_ms - 95.6) < 0.5
     assert abs(lmpc.p99_ms - 228.0) < 0.5
+    # remaining two rows of the SURVEY §6 table: tracking-NMPC on the Intel
+    # CPU and regular-NMPC on the AMD CPU (solve_stats.m:36,5)
+    nmpc_i = SolveStats.from_samples(golden("intelCPU_solve_sample_full"))
+    assert abs(nmpc_i.mean_ms - 257.7) < 0.5
+    assert abs(nmpc_i.median_ms - 192.2) < 0.5
+    assert abs(nmpc_i.p99_ms - 471.0) < 0.5
+    reg = SolveStats.from_samples(golden("solve_sample_reg"))
+    assert abs(reg.mean_ms - 343.3) < 0.5
+    assert abs(reg.median_ms - 280.2) < 0.5
+    assert abs(reg.p99_ms - 555.9) < 0.5
     # the reference misses its own 10 ms real-time budget by 10-40x
-    # (BASELINE.md) — both configs violate it
-    assert nmpc.violates_budget(10.0) and lmpc.violates_budget(10.0)
+    # (BASELINE.md) — every measured config violates it
+    assert all(s.violates_budget(10.0) for s in (nmpc, lmpc, nmpc_i, reg))
