@@ -326,3 +326,22 @@ def test_solve_stats_reproduce_reference_baseline(golden):
     # the reference misses its own 10 ms real-time budget by 10-40x
     # (BASELINE.md) — every measured config violates it
     assert all(s.violates_budget(10.0) for s in (nmpc, lmpc, nmpc_i, reg))
+
+
+def test_reference_own_run_to_run_spread_exceeds_our_deviation(golden):
+    """The reference shipped TWO runs of the q=50 sweep point
+    (data/casadi/DMS_tLBMPC_q50.mat and DMS_tLBMPC_q50_2.mat). They disagree
+    with each other by up to ~3.4 in the throttle-rate state and 0.02-0.07
+    in the slow states — under every column alignment — i.e. the reference's
+    OWN artifacts carry a run-to-run spread an order LARGER than any of our
+    golden deviations. This is the external counterpart of the measured
+    noise floor (docs/NOISE_FLOOR.md): closed-loop trajectories of this
+    problem are only reproducible to the active-set-transient envelope, by
+    anyone, including the reference itself."""
+    a = golden("DMS_tLBMPC_q50")[:, 1:]       # 501-col: drop duplicated col
+    b = golden("DMS_tLBMPC_q50_2")
+    d = np.abs(a - b)
+    assert d[3].max() > 1.0                   # their own x4 spread is O(1)
+    assert d[:2].max() > 1e-2                 # slow states: ~2e-2..5e-2
+    # ...while OUR deviation vs their primary q50 run stays an order tighter
+    # (test_dms_lbmpc_q50_closed_loop_parity: slow states < 2e-4)
