@@ -404,6 +404,10 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
         def steplen(pairs, t_):
             a = jnp.asarray(1.0, dtype)
             for v, dv in pairs:
+                if v.shape[0] == 0:
+                    # empty constraint group (e.g. no tightened first-step
+                    # rows when tighten_first_step=False): no step limit
+                    continue
                 r = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
                 a = jnp.minimum(a, t_ * jnp.min(r))
             return a

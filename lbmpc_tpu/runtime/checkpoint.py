@@ -6,13 +6,17 @@ The reference's closest analogs: workspace .mat snapshots
 closed-loop carry state — plant states, oracle windows, warm starts, step
 index — so a 100k-scenario sweep survives preemption mid-episode.
 
-Orbax is available in the image for large-scale sharded checkpoints; this
-module keeps a dependency-free hot path (np.savez) and an orbax adapter.
+The format is dependency-free npz (single-host durability, like the
+reference's .mat snapshots). For sharded fleets, `capture`/`resume` operate
+on the addressable (host-local) shard: resume re-shards via
+`shard_scenarios`, so a mesh-sharded cohort round-trips to f64 roundoff
+(tests/test_runtime.py::test_sharded_fleet_checkpoint_resume).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import pathlib
 from typing import Any
@@ -75,15 +79,20 @@ def capture(result, step: int) -> EpisodeState:
     )
 
 
-def resume(scenario, state: EpisodeState, steps: int):
+def resume(scenario, state: EpisodeState, steps: int, mesh=None):
     """Continue an episode from a checkpoint (VERDICT r1 item 9).
 
     Rebuilds the scan carry (plant state, oracle window, warm start) from
     `state` and runs `steps` further closed-loop steps through the
     scenario's jitted episode — interrupted-then-resumed is bit-identical to
-    uninterrupted (tests/test_runtime.py). The reference's closest analog is
-    artifact reuse (term_set.mat, functions/getCONS.m:56-58); mid-episode
-    resume has no reference counterpart.
+    uninterrupted (tests/test_runtime.py). Batched checkpoints (leading
+    scenario axis on x_abs, captured from run_batch / a fleet cohort) resume
+    through a vmapped episode; pass `mesh` to re-shard the batch over a
+    scenario mesh first (sharded fleet resume,
+    tests/test_runtime.py::test_sharded_fleet_checkpoint_resume). The
+    reference's closest analog is artifact reuse (term_set.mat,
+    functions/getCONS.m:56-58); mid-episode resume has no reference
+    counterpart.
     """
     from lbmpc_tpu.oracle import DataWindow
 
@@ -95,8 +104,18 @@ def resume(scenario, state: EpisodeState, steps: int):
         count=jnp.asarray(state.window_count),
     )
     dx = jnp.asarray(state.x_abs) - x_wp
-    return scenario.episode_from(dx, window, jnp.asarray(state.z_warm),
-                                 steps=steps)
+    z = jnp.asarray(state.z_warm)
+    batched = np.asarray(state.x_abs).ndim > 1
+    if mesh is not None:
+        from lbmpc_tpu.runtime.sharding import shard_scenarios
+
+        if not batched:
+            raise ValueError("mesh resume requires a batched checkpoint")
+        dx, window, z = shard_scenarios(mesh, (dx, window, z))
+    if batched:
+        run = jax.vmap(functools.partial(scenario.episode_from, steps=steps))
+        return run(dx, window, z)
+    return scenario.episode_from(dx, window, z, steps=steps)
 
 
 def load(path) -> tuple[EpisodeState, dict[str, Any]]:

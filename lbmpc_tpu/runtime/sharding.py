@@ -42,10 +42,8 @@ def initialize_multihost(
 
     # must not touch the backend before initialize (jax.process_count()
     # would initialise XLA and make distributed init impossible — caught by
-    # tests/test_multihost.py); probe the distributed client state directly
-    from jax._src import distributed as _dist
-
-    if getattr(_dist.global_state, "client", None) is not None:
+    # tests/test_multihost.py); the public probe does not
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
@@ -199,7 +197,7 @@ def global_solve_stats(mesh: Mesh, converged: jax.Array, axis: str = "scenario")
     equivalent of the reference's per-run solve bookkeeping
     (ref: examples/DMS_LBMPC_casadi.m:186-190 solve_times collection).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map,

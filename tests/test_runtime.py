@@ -160,6 +160,53 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     assert bool(part2.solver_converged.all())
 
 
+def test_sharded_fleet_checkpoint_resume(tmp_path):
+    """Capture/resume of a mesh-sharded fleet cohort (VERDICT r2 item 6):
+    interrupt a sharded batched run mid-sweep, round-trip through disk,
+    resume re-sharded over the same 8-device mesh — concatenation equals
+    the uninterrupted sharded run to f64 roundoff (the resumed program is a
+    differently-fused jit, so bitwise equality is not guaranteed; 1e-12
+    matches the single-episode resume test's tolerance)."""
+    from lbmpc_tpu.runtime.checkpoint import capture, load, resume, save
+    from lbmpc_tpu.runtime.sharding import (scenario_mesh,
+                                            shard_scenarios,
+                                            sharded_episode_runner)
+
+    cfg = make_preset("LBMPC_N40", iterations=24)
+    cfg = dataclasses.replace(
+        cfg,
+        ocp=dataclasses.replace(cfg.ocp, N=8),
+        solver=dataclasses.replace(cfg.solver, sqp_iters=1, ipm_iters=12),
+        oracle=dataclasses.replace(cfg.oracle, q=8),
+    )
+    sc = build_scenario(cfg)
+    rng = np.random.default_rng(3)
+    B = 16
+    dx0 = jnp.asarray(
+        np.array([-0.35, -0.4, 0.0, 0.0]) + rng.uniform(-0.02, 0.02, (B, 4)))
+    mesh = scenario_mesh()
+    full = sharded_episode_runner(sc.episode, mesh)(shard_scenarios(mesh, dx0))
+
+    sc12 = build_scenario(dataclasses.replace(cfg, iterations=12))
+    part1 = sharded_episode_runner(sc12.episode, mesh)(
+        shard_scenarios(mesh, dx0))
+    p = tmp_path / "fleet_ck.npz"
+    save(p, capture(part1, step=12), meta={"preset": cfg.name, "fleet": B})
+    state, meta = load(p)
+    assert meta["fleet"] == B and state.x_abs.shape == (B, 4)
+    part2 = resume(sc, state, steps=12, mesh=mesh)
+
+    h_full = np.asarray(full.sys_history)
+    np.testing.assert_array_equal(np.asarray(part1.sys_history),
+                                  h_full[:, :13])
+    np.testing.assert_allclose(np.asarray(part2.sys_history)[:, 1:],
+                               h_full[:, 13:], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(part2.final_x),
+                               np.asarray(full.final_x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(part2.final_window.Y),
+                               np.asarray(full.final_window.Y), atol=1e-12)
+
+
 def test_fleet_runner_chunked_matches_direct():
     """fleet_runner (BASELINE config 5 driver): cohort-scanned fleet equals
     the directly-vmapped episodes, stats reduce across the CPU mesh."""

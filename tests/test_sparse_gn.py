@@ -146,6 +146,24 @@ def test_sparse_lbmpc_casadi_family_episode_matches_condensed():
     assert d.max() < 1e-4
 
 
+def test_sparse_lbmpc_no_tightened_rows_episode_matches_condensed():
+    """md=0 regression (ADVICE r2): with tighten_first_step=False the
+    tightened first-step group is empty ((0,n) F_d) and the IPM steplength
+    must skip the zero-size slack/dual pair instead of crashing at trace
+    time (jnp.min over an empty ratio array)."""
+    cfg = make_preset("LBMPC_N20", iterations=30)
+    cfg = dataclasses.replace(
+        cfg, ocp=dataclasses.replace(cfg.ocp, tighten_first_step=False))
+    r_c = build_scenario(cfg).run()
+    cfg_s = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, qp_backend="sparse",
+                                        ipm_iters=30))
+    r_s = build_scenario(cfg_s).run()
+    assert bool(r_s.solver_converged.all())
+    d = np.abs(np.asarray(r_s.sys_history) - np.asarray(r_c.sys_history))
+    assert d.max() < 1e-6
+
+
 def test_sparse_parallel_rejected_for_lbmpc():
     """The associative-scan variant has no cross-term support and crashed
     the TPU worker at batch 1024 x N=100 (ROADMAP item 4): no selectable
