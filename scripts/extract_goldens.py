@@ -35,6 +35,13 @@ def main():
         arr = np.vstack([d[f"solve_times_{i}"] for i in range(1, 6)])
         np.save(OUT / f"{name}.npy", arr)
         print(f"{name}.npy: {arr.shape}")
+    # round 3 (VERDICT r2 item 4): the flagship q=10 run and the two orphan
+    # artifacts no reference script touches (provenance analysis in
+    # docs/PARITY.md "orphan artifacts")
+    for name in ("DMS_tLBMPC_q10", "tLBMPC", "DMS_tLBMPC"):
+        xlo = np.asarray(sio.loadmat(REF / "casadi" / f"{name}.mat")["xlo"], float)
+        np.save(OUT / f"{name}.npy", xlo)
+        print(f"{name}.npy: {xlo.shape}")
 
 
 if __name__ == "__main__":

@@ -34,16 +34,26 @@ def test_lmpc_pointwise_control_parity(golden):
     du_gold = g[4, 1:]                          # du_0..du_999
     Ks = jnp.asarray(sc.ocp.Ks)
 
+    nth = np.asarray(sc.ocp.LAMBDA).shape[1]
+
     def du_of(dx):
         z, conv = sc.solve(dx, None, None)
-        return (Ks @ dx + z[:1])[0], conv
+        return (Ks @ dx + z[:1])[0], z[-nth:], conv
 
-    du, conv = jax.vmap(du_of)(dxs)
+    du, th, conv = jax.vmap(du_of)(dxs)
     err = np.abs(np.asarray(du) - du_gold)
     assert bool(jnp.all(conv))
     assert np.median(err) < 2e-6
     assert err.max() < 5e-4  # few active-set-boundary steps carry fmincon noise
     assert (err > 1e-4).sum() < 10
+    # theta channel pointwise (VERDICT r2 item 4a): artificial reference
+    # Lambda(1:m,:)*theta at every golden state vs art_refH (ref:
+    # functions/ocpLMPC.m art_ref logging; art_refH[0] = pre-loop 0 seed).
+    # Measured: median 7.7e-9, max 6.6e-5, zero steps above 1e-4.
+    art = np.asarray(th) @ np.asarray(sc.ocp.LAMBDA)[:1].T
+    aerr = np.abs(art[:, 0] - golden("LMPC_N50")["art_refH"][1:])
+    assert np.median(aerr) < 1e-7
+    assert aerr.max() < 5e-4
 
 
 def test_lmpc_n20_pointwise_parity(golden):
@@ -76,6 +86,11 @@ def test_lbmpc_closed_loop_parity(golden):
     g = golden("LBMPC_N50")["sysH"]
     err = np.abs(sysH[:, : steps + 1] - g[:, : steps + 1])
     assert err.max() < 5e-4
+    # theta channel (VERDICT r2 item 4a; ref: functions/ocpLBMPC.m:34-44,
+    # art_refH[0] is the pre-loop 0 seed). Measured: 2.2e-5 max at N=50.
+    aerr = np.abs(np.asarray(res.art_history)[:, 0]
+                  - golden("LBMPC_N50")["art_refH"][1: steps + 1])
+    assert aerr.max() < 2e-4
 
 
 def test_nmpc_closed_loop_parity(golden):
@@ -89,6 +104,10 @@ def test_nmpc_closed_loop_parity(golden):
     assert err[:3].max() < 1e-4   # slow states
     assert err[3].max() < 5e-3    # throttle rate
     assert err[4].max() < 1e-3    # input
+    # theta channel (VERDICT r2 item 4a): measured max 5.0e-5 at 60 steps
+    aerr = np.abs(np.asarray(res.art_history)[:, 0]
+                  - golden("NMPC_N50")["art_refH"][1: steps + 1])
+    assert aerr.max() < 5e-4
 
 
 def test_dms_lmpc_casadi_closed_loop_parity(golden):
