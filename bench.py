@@ -196,24 +196,30 @@ def main():
     # analysis/roofline.py); HBM bytes still come from the XLA cost model.
     from lbmpc_tpu.analysis.roofline import (Roofline,
                                              fused_sqp_flops_per_solve,
+                                             fused_sqp_op_split,
                                              program_costs)
 
     ne = (N - 2) * 5 + 4 + 1
-    phases = fused_sqp_flops_per_solve(
-        N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz,
-        sqp_iters=2, ipm_iters=16)
+    shape_kw = dict(N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz)
+    phases = fused_sqp_flops_per_solve(sqp_iters=2, ipm_iters=16, **shape_kw)
+    split = fused_sqp_op_split(sqp_iters=2, ipm_iters=16, **shape_kw)
     # the K=24 1-GN/8-IPM repair touches 24/2048 of lanes: ~1% extra
-    repair_frac_flops = (24.0 / 2048.0) * fused_sqp_flops_per_solve(
-        N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz,
-        sqp_iters=1, ipm_iters=8)["total"]
-    flops_per_solve = phases["total"] + (
-        repair_frac_flops if best["name"].startswith("hybrid") else 0.0)
+    rfrac = 24.0 / 2048.0
+    repair_frac_flops = rfrac * fused_sqp_flops_per_solve(
+        sqp_iters=1, ipm_iters=8, **shape_kw)["total"]
+    repair_split = fused_sqp_op_split(sqp_iters=1, ipm_iters=8, **shape_kw)
+    hyb = best["name"].startswith("hybrid")
+    flops_per_solve = phases["total"] + (repair_frac_flops if hyb else 0.0)
+    mxu_solve = split["mxu"] + (rfrac * repair_split["mxu"] if hyb else 0.0)
+    vpu_solve = split["vpu"] + (rfrac * repair_split["vpu"] if hyb else 0.0)
     xla_flops, xla_bytes = program_costs(run, *args)
     solves_call = best["R"] * best["batch"]
     rl = Roofline(flops_per_call=flops_per_solve * solves_call,
                   bytes_per_call=xla_bytes,
                   call_s=stats.median_ms * 1e-3 * best["R"],
-                  solves_per_call=solves_call)
+                  solves_per_call=solves_call,
+                  mxu_flops_per_call=mxu_solve * solves_call,
+                  vpu_flops_per_call=vpu_solve * solves_call)
     rl_dict = rl.as_dict()
     rl_dict["flops_model"] = "analytic (XLA cost model excludes Pallas custom calls; its count: %.0f/solve)" % (
         xla_flops / max(solves_call, 1))

@@ -23,6 +23,24 @@ import dataclasses
 V5E_PEAK_FLOPS = 197e12      # bf16 MXU peak, one v5e chip
 V5E_HBM_BYTES_S = 819e9      # HBM bandwidth, one v5e chip
 
+# Derived v5e clock from the published bf16 peak: 4 MXUs x 128x128 MACs x 2
+# flops x clock = 197e12 -> clock ~ 1.50 GHz.
+V5E_CLOCK_HZ = 197e12 / (4 * 128 * 128 * 2)
+
+# f32 matmul at HIGHEST precision runs as multi-pass bf16 on the MXU
+# (6 passes for full f32 fidelity) -> f32-HIGHEST MXU peak = bf16 peak / 6.
+V5E_F32_MXU_FLOPS = V5E_PEAK_FLOPS / 6.0
+
+# VPU/issue-rate peak (VERDICT r2 item 2 — the denominator that makes
+# "issue/VPU-bound" falsifiable): the VPU datapath is 8 sublanes x 128 lanes
+# = 1024 f32 ALUs; one vector instruction per cycle at the derived clock,
+# counting an FMA as 2 flops:
+#   VPU peak = 1024 lanes x 2 flops x 1.50 GHz ~ 3.08 TFLOP/s.
+# Elementwise chains that issue one (8,128) register op per cycle can do no
+# better than this; a program whose VPU-class work runs at p% of it is
+# issue-bound by (1-p) overheads (op setup, relayouts, sequential deps).
+V5E_VPU_FLOPS = 1024 * 2 * V5E_CLOCK_HZ
+
 
 @dataclasses.dataclass(frozen=True)
 class Roofline:
@@ -34,6 +52,13 @@ class Roofline:
     solves_per_call: int
     peak_flops: float = V5E_PEAK_FLOPS
     peak_bytes_s: float = V5E_HBM_BYTES_S
+    # optional op-class split of flops_per_call (MXU-class = matmul-shaped,
+    # VPU-class = elementwise/reduction/small-sequential); enables the
+    # speed-of-light model below. None = split unknown.
+    mxu_flops_per_call: float | None = None
+    vpu_flops_per_call: float | None = None
+    peak_mxu_f32: float = V5E_F32_MXU_FLOPS
+    peak_vpu: float = V5E_VPU_FLOPS
 
     @property
     def flops_per_solve(self) -> float:
@@ -61,19 +86,61 @@ class Roofline:
         return self.flops_per_call / max(self.bytes_per_call, 1.0)
 
     @property
+    def vpu_util(self) -> float | None:
+        """Achieved VPU-class FLOP rate vs the VPU issue-rate peak."""
+        if self.vpu_flops_per_call is None:
+            return None
+        return (self.vpu_flops_per_call / self.call_s) / self.peak_vpu
+
+    @property
+    def mxu_util_f32(self) -> float | None:
+        """Achieved MXU-class FLOP rate vs the f32-HIGHEST MXU peak."""
+        if self.mxu_flops_per_call is None:
+            return None
+        return (self.mxu_flops_per_call / self.call_s) / self.peak_mxu_f32
+
+    @property
+    def sol_s(self) -> float | None:
+        """Speed-of-light call time: each resource at its peak, serialized
+        worst case (sum, not max — conservative upper bound on the light).
+        None when the op-class split is unknown."""
+        if self.mxu_flops_per_call is None or self.vpu_flops_per_call is None:
+            return None
+        return (self.mxu_flops_per_call / self.peak_mxu_f32
+                + self.vpu_flops_per_call / self.peak_vpu
+                + self.bytes_per_call / self.peak_bytes_s)
+
+    @property
+    def sol_frac(self) -> float | None:
+        """Fraction of speed-of-light achieved: sol_s / call_s. The gap
+        (1 - sol_frac) is issue/dispatch/dependency overhead the FLOP and
+        byte counts cannot explain — the quantified version of the old
+        unfalsifiable 'issue/VPU' label."""
+        return None if self.sol_s is None else self.sol_s / self.call_s
+
+    @property
     def bound(self) -> str:
         """Which peak the program is closer to saturating.
 
-        Batched-small-matrix IPM programs typically stress neither MXU nor
-        HBM but the issue/VPU path (thousands of small fused ops); 'issue'
-        is reported when both utilizations are below 10%.
+        With an op-class split, utilizations are measured against each
+        unit's own peak (f32-HIGHEST MXU, VPU issue rate, HBM); without one,
+        batched-small-matrix IPM programs typically stress neither MXU nor
+        HBM and 'issue/VPU' is reported when both utilizations are < 10%.
         """
+        vu, mu = self.vpu_util, self.mxu_util_f32
+        if vu is not None and mu is not None:
+            best = max(mu, vu, self.hbm_util)
+            if best < 0.5:
+                return "issue/overhead"   # no unit near its peak: per-op cost
+            if best == mu:
+                return "MXU(f32)"
+            return "VPU" if best == vu else "HBM"
         if max(self.mfu, self.hbm_util) < 0.10:
             return "issue/VPU"
         return "MXU" if self.mfu >= self.hbm_util else "HBM"
 
     def as_dict(self) -> dict:
-        return {
+        d = {
             "flops_per_solve": round(self.flops_per_solve, 1),
             "achieved_gflops": round(self.achieved_flops / 1e9, 1),
             "mfu_vs_bf16_peak": round(self.mfu, 4),
@@ -82,6 +149,12 @@ class Roofline:
             "arith_intensity_flop_per_byte": round(self.arithmetic_intensity, 1),
             "bound": self.bound,
         }
+        if self.vpu_util is not None:
+            d["mxu_util_vs_f32_highest_peak"] = round(self.mxu_util_f32, 4)
+            d["vpu_util_vs_issue_peak"] = round(self.vpu_util, 4)
+            d["sol_call_ms"] = round(self.sol_s * 1e3, 3)
+            d["sol_frac"] = round(self.sol_frac, 4)
+        return d
 
 
 def program_costs(jitted, *args) -> tuple[float, float]:
@@ -152,3 +225,39 @@ def fused_sqp_flops_per_solve(N: int, n: int, m: int, q: int, mc: int,
         "ipm_vector": float(sqp_iters * ipm_iters * ipm_vec),
         "merit_ladder": float(sqp_iters * merit),
     }
+
+
+def fused_sqp_op_split(N: int, n: int, m: int, q: int, mc: int, ne: int,
+                       nz: int, sqp_iters: int, ipm_iters: int,
+                       n_merit: int = 6, d_in: int = 3,
+                       d_out: int = 4) -> dict:
+    """Op-class split of fused_sqp_flops_per_solve (VERDICT r2 item 2).
+
+    Classifies every term of the analytic FLOP model as MXU-class
+    (matmul-shaped contractions XLA lowers to the MXU: the d@W KKT
+    formation, H = 2J'J, the batched sensitivity-propagation matmuls, the
+    NW weighted sums, constraint-stack products) or VPU-class (elementwise
+    chains, reductions, and the in-kernel sequential Cholesky/tri-solves of
+    pallas_chol, which issue (8,128) register ops on the VPU). Feeding the
+    split into Roofline yields per-unit utilizations and a speed-of-light
+    call time instead of the unfalsifiable 'issue/VPU' default.
+    """
+    nw_sum = 2 * q * d_out                      # NW weighted sums (matvec)
+    nw_elem = q * (2 * d_in + 1)                # distances + kernel weights
+    nw_jac = 2 * q * d_out * d_in               # closed-form Jg outer products
+    sens = 2 * n * nz * (n + d_in + 2 * m)      # S propagation (MXU)
+    jac_mxu = N * (nw_sum + sens)
+    jac_vpu = N * (nw_elem + nw_jac)
+    gn_terms = 2 * ne * nz * nz + 2 * ne * nz   # MXU
+    kkt_mxu = 2 * mc * nz * nz                  # d@W
+    kkt_vpu = mc * nz                           # row scaling
+    chol = nz ** 3 // 3 + 4 * nz * nz           # VPU (in-kernel)
+    ipm_vec = 8 * mc * nz                       # VPU
+    roll_mxu = N * (nw_sum + 2 * n * (n + m))
+    roll_vpu = N * nw_elem
+    merit_mxu = n_merit * (roll_mxu + 2 * mc * nz)   # viol = z G' (matmul)
+    merit_vpu = n_merit * roll_vpu
+    mxu = sqp_iters * (jac_mxu + gn_terms + ipm_iters * kkt_mxu + merit_mxu)
+    vpu = sqp_iters * (jac_vpu + ipm_iters * (kkt_vpu + chol + ipm_vec)
+                       + merit_vpu)
+    return {"mxu": float(mxu), "vpu": float(vpu)}

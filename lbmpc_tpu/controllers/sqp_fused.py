@@ -52,6 +52,7 @@ def make_lbmpc_solver_fused(
     scale: bool = True,
     jac_mode: str = "manual",
     d_cap: float = 1e6,
+    qp_kernel: str = "xla",
 ):
     """Returns solve_batch(dx0 (B,n), windows (batched DataWindow), z_ws (B,nz))
     -> (z (B,nz), converged (B,)). float32 throughput path.
@@ -61,14 +62,43 @@ def make_lbmpc_solver_fused(
     sensitivity-propagation scan (S_{k+1} = A S_k + B du/dz + Jg dxi/dz, with
     the oracle Jacobian Jg in closed form — oracle.nw_estimate_and_jac)
     instead of nz jacfwd tangent passes each re-evaluating the q-point NW
-    kernel. Same values to f32 roundoff; "jacfwd" keeps the autodiff path."""
+    kernel. Same values to f32 roundoff; "jacfwd" keeps the autodiff path.
+
+    qp_kernel="pallas" routes the QP subproblems through the full-Pallas
+    Mehrotra kernel (ops/pallas_ipm.build_pallas_qp_solver_h — the entire
+    IPM loop in one kernel launch, all state in VMEM) instead of the
+    XLA-composed iteration with Pallas factor/solve (ops/ipm_fused).
+    Identical semantics (same d_cap/ridge/equilibration/tau); tile is the
+    Pallas lane-tile in both cases."""
     f32 = jnp.float32
     Gd = jnp.asarray(qp.G, f32)
     h0d = jnp.asarray(qp.h0, f32)
     Hpd = jnp.asarray(qp.Hp, f32)
-    fused = build_fused_qp_solver(None, qp.G, iters=ipm_iters, tile=tile,
-                                  interpret=interpret, scale=scale,
-                                  d_cap=d_cap)
+    if qp_kernel == "pallas":
+        from lbmpc_tpu.ops.pallas_ipm import build_pallas_qp_solver_h
+
+        pallas_raw = build_pallas_qp_solver_h(
+            qp.G, iters=ipm_iters, tile=min(tile, 256), d_cap=d_cap,
+            interpret=interpret)
+
+        class _Sub:
+            __slots__ = ("x", "mu")
+
+            def __init__(self, x, mu):
+                self.x = x
+                self.mu = mu
+
+        class _Fused:
+            @staticmethod
+            def raw_with_H(Hb, gb, hb):
+                x, mu = pallas_raw(Hb, gb, hb)
+                return _Sub(x, mu)
+
+        fused = _Fused()
+    else:
+        fused = build_fused_qp_solver(None, qp.G, iters=ipm_iters, tile=tile,
+                                      interpret=interpret, scale=scale,
+                                      d_cap=d_cap)
     residual_single, res_jac_single = make_residual_and_jac(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
         ridge=ridge, dx_ref=dx_ref, dtype=f32)
@@ -176,6 +206,7 @@ def make_lbmpc_solver_hybrid(
     repair_ipm_iters: int = 30,
     repair_sqp_iters: int | None = None,
     repair_warm: str = "ws",
+    qp_kernel: str = "xla",
 ):
     """Fused batch SQP + fixed-shape vmapped repair of flagged lanes.
 
@@ -204,7 +235,8 @@ def make_lbmpc_solver_hybrid(
     fused = make_lbmpc_solver_fused(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
         ridge=ridge, dx_ref=dx_ref, sqp_iters=sqp_iters, ipm_iters=ipm_iters,
-        tile=tile, rho=rho, interpret=interpret, scale=scale)
+        tile=tile, rho=rho, interpret=interpret, scale=scale,
+        qp_kernel=qp_kernel)
     vm = make_lbmpc_solver(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
         ridge=ridge, dx_ref=dx_ref,

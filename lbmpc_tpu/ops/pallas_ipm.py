@@ -38,6 +38,235 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def build_pallas_qp_solver_h(
+    G: np.ndarray,
+    iters: int = 16,
+    tile: int = 256,
+    tau: float = 0.995,
+    d_cap: float = 1e6,
+    interpret: bool = False,
+):
+    """Per-problem-Hessian full-IPM kernel: the whole Mehrotra loop in VMEM.
+
+    The SQP's QP subproblems carry a different Gauss-Newton Hessian per lane
+    (H_b = 2 J'J), which the shared-H kernel below cannot serve; this variant
+    streams a packed H block per tile and keeps everything else resident.
+    Semantics mirror ops/ipm_fused.build_fused_qp_solver exactly — d_cap,
+    1e-6 ridge, symmetric Jacobi equilibration of every KKT normal matrix,
+    tau, and the convergence test — so lane-level convergence behavior
+    matches the validated XLA-composed path (differences are op-ordering
+    roundoff only; equality tested in tests/test_pallas_ipm.py). No Farkas
+    certificates (the SQP hot path consumes x and mu only; use the XLA
+    backend when infeasibility detection is needed).
+
+    Returns raw(H_b (B, nz, nz) f32, g (B, nz) f32, h (B, mI) f32)
+    -> (x (B, nz), mu (B,)); unjitted and context-free for embedding in an
+    outer jitted scan (the caller owns matmul precision, like
+    ipm_fused.raw_with_H).
+    """
+    nz = G.shape[1]
+    mI = G.shape[0]
+    nz_p = _round_up(nz, 8)
+    mI_p = _round_up(mI, 128)
+    T = tile
+
+    Gp = np.zeros((mI_p, nz_p), np.float32)
+    Gp[:mI, :nz] = G
+    GT = Gp.T.copy()
+    Gp_j = jnp.asarray(Gp)
+    GT_j = jnp.asarray(GT)
+
+    def mxu(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def kernel(H_ref, g_ref, h_ref, GT_ref, G_ref, x_out, mu_out,
+               x_s, s_s, z_s):
+        with jax.enable_x64(False):
+            _kernel_body(H_ref, g_ref, h_ref, GT_ref, G_ref, x_out, mu_out,
+                         x_s, s_s, z_s)
+
+    def _kernel_body(H_ref, g_ref, h_ref, GT_ref, G_ref, x_out, mu_out,
+                     x_s, s_s, z_s):
+        g = g_ref[:]
+        h = h_ref[:]
+        GTm = GT_ref[:]
+        Gm = G_ref[:]
+        Hcols = [H_ref[0, :, j * T:(j + 1) * T] for j in range(nz_p)]
+
+        rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (mI_p, 1), 0)
+        act = jnp.where(rows_m < jnp.int32(mI), 1.0, 0.0).astype(jnp.float32)
+
+        x_s[:] = jnp.zeros((nz_p, T), jnp.float32)
+        s_s[:] = jnp.maximum(h, 1.0)
+        z_s[:] = jnp.broadcast_to(act, (mI_p, T))  # padded rows: z = 0 forever
+
+        def Hx(x):
+            acc = Hcols[0] * x[0:1, :]
+            for j in range(1, nz_p):
+                acc = acc + Hcols[j] * x[j:j + 1, :]
+            return acc
+
+        def chol_cols(Mcols):
+            Ls = []
+            for j in range(nz_p):
+                acc = Mcols[j]
+                for k in range(j):
+                    acc = acc - Ls[k][j:j + 1, :] * Ls[k]
+                djj = jnp.sqrt(jnp.maximum(acc[j:j + 1, :], 1e-30))
+                Ls.append(jnp.where(rows_n >= j, acc / djj, 0.0))
+            return Ls
+
+        def tri_lower(Ls, b):
+            y = jnp.zeros_like(b)
+            for j in range(nz_p):
+                yj = b[j:j + 1, :] / Ls[j][j:j + 1, :]
+                y = y + jnp.where(rows_n == j, yj, 0.0)
+                b = b - jnp.where(rows_n > j, Ls[j] * yj, 0.0)
+            return y
+
+        def tri_upper_t(Ls, y):
+            xs = [None] * nz_p
+            for idx in range(nz_p):
+                j = nz_p - 1 - idx
+                acc = y[j:j + 1, :]
+                for k in range(j + 1, nz_p):
+                    acc = acc - Ls[j][k:k + 1, :] * xs[k]
+                xs[j] = acc / Ls[j][j:j + 1, :]
+            x = jnp.zeros_like(y)
+            for j in range(nz_p):
+                x = x + jnp.where(rows_n == j, xs[j], 0.0)
+            return x
+
+        def body(it, _):
+            x = x_s[:]
+            s = s_s[:]
+            z = z_s[:]
+            rd = Hx(x) + g + mxu(GTm, z)
+            Gx = mxu(Gm, x)
+            rp = (Gx + s - h) * act
+            s_safe = jnp.maximum(s, 1e-25)
+            d = jnp.minimum(z / s_safe, d_cap) * act
+
+            # KKT normal matrix per column + ridge, then Jacobi equilibration
+            # (ipm_fused `scale=True`: unit diagonal restores the digits the
+            # d-weighted diagonal's dynamic range costs in f32)
+            Mcols = []
+            for j in range(nz_p):
+                Mj = mxu(GTm, d * Gm[:, j:j + 1]) + Hcols[j]
+                Mj = Mj + jnp.where(rows_n == j, 1e-6, 0.0)
+                Mcols.append(Mj)
+            dg = jnp.zeros((nz_p, T), jnp.float32)
+            for j in range(nz_p):
+                dg = dg + jnp.where(rows_n == j, Mcols[j][j:j + 1, :], 0.0)
+            sc = jax.lax.rsqrt(jnp.maximum(dg, 1e-30))
+            Ls = chol_cols([Mcols[j] * sc * sc[j:j + 1, :]
+                            for j in range(nz_p)])
+
+            def kkt(rc):
+                t = (d * rp - rc / s_safe) * act
+                rhs = -(rd + mxu(GTm, t))
+                dx = tri_upper_t(Ls, tri_lower(Ls, rhs * sc)) * sc
+                Gdx = mxu(Gm, dx)
+                dz = (d * (rp + Gdx) - rc / s_safe) * act
+                ds = (-rp - Gdx) * act
+                return dx, ds, dz
+
+            def steplen(v, dv, t_):
+                ratio = jnp.where(dv < 0.0, -v / jnp.where(dv < 0.0, dv, -1.0),
+                                  BIG)
+                return jnp.minimum(1.0,
+                                   t_ * jnp.min(ratio, axis=0, keepdims=True))
+
+            mu = jnp.sum(s * z * act, axis=0, keepdims=True) / float(mI)
+            rc_aff = s * z * act
+            dxa, dsa, dza = kkt(rc_aff)
+            ap = steplen(s, dsa, 1.0)
+            ad = steplen(z, dza, 1.0)
+            mu_aff = jnp.sum((s + ap * dsa) * (z + ad * dza) * act,
+                             axis=0, keepdims=True) / float(mI)
+            sigma = (mu_aff / jnp.maximum(mu, 1e-25)) ** 3
+            rc = (s * z + dsa * dza - sigma * mu) * act
+            dx, ds, dz = kkt(rc)
+            ap = steplen(s, ds, tau)
+            ad = steplen(z, dz, tau)
+            x_s[:] = x + ap * dx
+            s_s[:] = s + ap * ds
+            z_s[:] = z + ad * dz
+            return 0
+
+        jax.lax.fori_loop(0, iters, body, 0)
+        x_out[:] = x_s[:]
+        mu_out[:] = jnp.sum(s_s[:] * z_s[:] * act, axis=0,
+                            keepdims=True) / float(mI)
+
+    def raw(H_b: jax.Array, g: jax.Array, h: jax.Array):
+        with jax.enable_x64(False):
+            B = g.shape[0]
+            pad = (-B) % T
+            if pad:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((pad, nz), jnp.float32)])
+                h = jnp.concatenate(
+                    [h, jnp.ones((pad, mI), jnp.float32)])
+                eye_pad = jnp.broadcast_to(
+                    jnp.eye(nz, dtype=jnp.float32)[None], (pad, nz, nz))
+                H_b = jnp.concatenate([H_b.astype(jnp.float32), eye_pad])
+            Bp = B + pad
+            # pack H: [tile, i, j*T + t] = H[tile*T + t, i, j], pad diag = 1
+            Hp = jnp.zeros((Bp, nz_p, nz_p), jnp.float32)
+            Hp = Hp.at[:, :nz, :nz].set(H_b.astype(jnp.float32))
+            di = jnp.arange(nz, nz_p)
+            Hp = Hp.at[:, di, di].set(1.0)
+            Hpk = (Hp.transpose(1, 2, 0)
+                   .reshape(nz_p, nz_p, Bp // T, T)
+                   .transpose(2, 0, 1, 3)
+                   .reshape(Bp // T, nz_p, nz_p * T))
+            g_t = jnp.zeros((nz_p, Bp), jnp.float32).at[:nz, :].set(
+                g.astype(jnp.float32).T)
+            h_t = jnp.full((mI_p, Bp), BIG, jnp.float32).at[:mI, :].set(
+                h.astype(jnp.float32).T)
+            x_t, mu_t = pl.pallas_call(
+                kernel,
+                grid=(Bp // T,),
+                in_specs=[
+                    pl.BlockSpec((1, nz_p, nz_p * T), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nz_p, T), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((mI_p, T), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nz_p, mI_p), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((mI_p, nz_p), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((nz_p, T), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, T), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nz_p, Bp), jnp.float32),
+                    jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((nz_p, T), jnp.float32),
+                    pltpu.VMEM((mI_p, T), jnp.float32),
+                    pltpu.VMEM((mI_p, T), jnp.float32),
+                ],
+                interpret=interpret,
+            )(Hpk, g_t, h_t, GT_j, Gp_j)
+            return x_t[:nz, :B].T, mu_t[0, :B]
+
+    return raw
+
+
 def build_pallas_qp_solver(
     H: np.ndarray,
     G: np.ndarray,

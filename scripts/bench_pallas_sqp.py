@@ -1,0 +1,120 @@
+"""On-chip A/B: fused LBMPC SQP with qp_kernel='pallas' vs 'xla'.
+
+Round-3 VERDICT item 1: promote the full-Pallas Mehrotra kernel
+(ops/pallas_ipm.build_pallas_qp_solver_h — whole IPM loop in one kernel
+launch, state resident in VMEM) onto the production SQP path and measure it
+at the bench operating point (N=20, q=100, batch 2048, R=32 scan-amortized).
+
+Usage: python scripts/bench_pallas_sqp.py [tile ...]
+"""
+
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).parent.parent / ".cache" / "jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+    from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
+    from lbmpc_tpu.controllers.sqp_fused import (make_lbmpc_solver_fused,
+                                                 make_lbmpc_solver_hybrid)
+    from lbmpc_tpu.oracle import init_window
+    from lbmpc_tpu.runtime.scenario import build_scenario
+
+    N, q = 20, 100
+    cfg = make_preset("LBMPC_N40")
+    cfg = dataclasses.replace(
+        cfg,
+        ocp=dataclasses.replace(cfg.ocp, N=N),
+        oracle=dataclasses.replace(cfg.oracle, q=q),
+        solver=dataclasses.replace(cfg.solver, sqp_iters=2, ipm_iters=16,
+                                   dtype="float32"))
+    sc = build_scenario(cfg)
+    qp = build_fmincon_lmpc(
+        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N, dx_ref=np.asarray(cfg.dx_ref),
+        terminal_at=cfg.ocp.terminal_at,
+        tighten_first_step=cfg.ocp.tighten_first_step)
+    w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+                          sc.ocp.LAMBDA, sc.ocp.PSI)
+    kw = dict(family="fmincon", delta=cfg.plant.ts,
+              bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+              dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16)
+
+    batch, R = 2048, 32
+    rng = np.random.default_rng(0)
+    f32 = jnp.float32
+    dx = jnp.asarray(np.array([-0.35, -0.4, 0.0, 0.0])
+                     + 0.01 * rng.standard_normal((R, batch, 4)), f32)
+    win0 = init_window(q, dtype=f32)
+    wins = type(win0)(
+        X=jnp.asarray(0.1 * rng.standard_normal((R, batch, q, 3)), f32),
+        Y=jnp.asarray(0.001 * rng.standard_normal((R, batch, q, 4)), f32),
+        valid=jnp.ones((R, batch, q), f32),
+        count=jnp.full((R, batch), q, jnp.int32))
+    z0 = jnp.zeros((R, batch, sc.nz), f32)
+
+    def make_scan(solve_b):
+        @jax.jit
+        def run(dx, windows, z0):
+            def body(acc, inp):
+                d, w_, z = inp
+                zs, conv = solve_b(d, w_, z)
+                return acc + jnp.sum(zs[:, 0]), conv
+            acc, convs = jax.lax.scan(body, jnp.float32(0.0), (dx, windows, z0))
+            return acc, convs
+        return run
+
+    def force(out):
+        return float(np.asarray(out[0]).ravel()[0])
+
+    def bench(name, solve_b, reps=5):
+        run = make_scan(solve_b)
+        t0 = time.time()
+        out = run(dx, wins, z0)
+        force(out)
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = run(dx, wins, z0)
+            force(out)
+            times.append(time.perf_counter() - t0)
+        step = float(np.median(times)) / R
+        conv = float(np.mean(np.asarray(out[1])))
+        print(json.dumps(dict(
+            name=name, step_ms=round(step * 1e3, 3),
+            solves_per_s=round(batch / step, 0), conv=round(conv, 5),
+            compile_s=round(compile_s, 1))), flush=True)
+        return step, conv
+
+    tiles = [int(t) for t in sys.argv[1:]] or [256]
+    bench("xla_s2i16", make_lbmpc_solver_fused(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, **kw))
+    for t in tiles:
+        bench(f"pallas_s2i16_t{t}", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas", tile=t, **kw))
+    bench("hybrid_pallas_t%d" % tiles[0], make_lbmpc_solver_hybrid(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas", tile=tiles[0],
+        repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
+        repair_warm="fused", **kw))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,3 +67,93 @@ def test_pallas_kernel_on_mpc_qp():
         )
         # f32 kernel vs f64 reference: control-relevant head of z
         np.testing.assert_allclose(np.asarray(x_pl)[i][:1], ref[:1], atol=5e-4)
+
+
+def test_pallas_h_kernel_matches_xla_fused_path():
+    """Per-problem-H full-IPM kernel (build_pallas_qp_solver_h) vs the
+    XLA-composed ipm_fused path on identical SQP-style QPs: identical
+    semantics (d_cap/ridge/equilibration/tau), so trajectories agree to f32
+    op-ordering roundoff (measured: median 1.7e-8, worst lane 1.1e-2 in the
+    documented hard-lane class)."""
+    from lbmpc_tpu.ops.ipm_fused import build_fused_qp_solver
+    from lbmpc_tpu.ops.pallas_ipm import build_pallas_qp_solver_h
+
+    rng = np.random.default_rng(0)
+    nz, mI, B = 21, 214, 32
+    G = rng.standard_normal((mI, nz)).astype(np.float32)
+    Hb = np.zeros((B, nz, nz), np.float32)
+    g = np.zeros((B, nz), np.float32)
+    h = np.zeros((B, mI), np.float32)
+    for b in range(B):
+        J = rng.standard_normal((40, nz))
+        Hb[b] = (2 * J.T @ J + 1e-3 * np.eye(nz)).astype(np.float32)
+        g[b] = rng.standard_normal(nz)
+        h[b] = np.abs(rng.standard_normal(mI)) + 0.1
+    xla = build_fused_qp_solver(None, G, iters=16, tile=32, interpret=True)
+    pal = build_pallas_qp_solver_h(G, iters=16, tile=32, interpret=True)
+    with jax.default_matmul_precision("highest"):
+        sub = xla.raw_with_H(jnp.asarray(Hb), jnp.asarray(g), jnp.asarray(h))
+        xp, mup = jax.jit(pal)(jnp.asarray(Hb), jnp.asarray(g), jnp.asarray(h))
+    d = np.abs(np.asarray(xp) - np.asarray(sub.x))
+    assert np.median(d) < 1e-6
+    assert d.max() < 5e-2
+    # mu distributions agree (same convergence behavior)
+    assert np.abs(np.asarray(mup) - np.asarray(sub.mu)).max() < 1e-3
+    # non-tile-multiple batch exercises the padding path
+    xp2, _ = jax.jit(pal)(jnp.asarray(Hb[:20]), jnp.asarray(g[:20]),
+                          jnp.asarray(h[:20]))
+    assert np.abs(np.asarray(xp2) - np.asarray(xp)[:20]).max() < 1e-5
+
+
+def test_fused_sqp_pallas_qp_kernel_matches_xla():
+    """make_lbmpc_solver_fused(qp_kernel='pallas'): the full LBMPC SQP with
+    the one-launch Pallas IPM reproduces the XLA-subproblem SQP (measured:
+    z max diff 3.7e-4, median 1.5e-8, conv 1.0 both)."""
+    import dataclasses
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+    from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
+    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
+    from lbmpc_tpu.oracle import init_window
+    from lbmpc_tpu.runtime.scenario import build_scenario
+
+    N, q, B = 12, 16, 16
+    cfg = make_preset("LBMPC_N40")
+    cfg = dataclasses.replace(
+        cfg, ocp=dataclasses.replace(cfg.ocp, N=N),
+        oracle=dataclasses.replace(cfg.oracle, q=q))
+    sc = build_scenario(cfg)
+    qp = build_fmincon_lmpc(
+        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N, dx_ref=np.asarray(cfg.dx_ref),
+        terminal_at=cfg.ocp.terminal_at,
+        tighten_first_step=cfg.ocp.tighten_first_step)
+    from lbmpc_tpu.controllers.lbmpc import LBMPCWeights as W
+
+    w = W.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+               sc.ocp.LAMBDA, sc.ocp.PSI)
+    kw = dict(family="fmincon", delta=cfg.plant.ts,
+              bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+              dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
+              tile=B, interpret=True)
+    sx = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                 qp_kernel="xla", **kw)
+    sp = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                 qp_kernel="pallas", **kw)
+    rng = np.random.default_rng(0)
+    f32 = jnp.float32
+    dx = jnp.asarray(np.array([-0.35, -0.4, 0, 0])
+                     + 0.01 * rng.standard_normal((B, 4)), f32)
+    win0 = init_window(q, dtype=f32)
+    wins = type(win0)(
+        X=jnp.asarray(0.1 * rng.standard_normal((B, q, 3)), f32),
+        Y=jnp.asarray(0.001 * rng.standard_normal((B, q, 4)), f32),
+        valid=jnp.ones((B, q), f32), count=jnp.full((B,), q, jnp.int32))
+    z0 = jnp.zeros((B, qp.nz), f32)
+    zx, cx = sx(dx, wins, z0)
+    zp, cp = sp(dx, wins, z0)
+    d = np.abs(np.asarray(zx) - np.asarray(zp))
+    assert np.median(d) < 1e-6
+    assert d.max() < 5e-3
+    assert bool(np.asarray(cx).all()) and bool(np.asarray(cp).all())
