@@ -53,6 +53,7 @@ def make_lbmpc_solver_fused(
     jac_mode: str = "manual",
     d_cap: float = 1e6,
     qp_kernel: str = "xla",
+    alphas: tuple = _ALPHAS,
 ):
     """Returns solve_batch(dx0 (B,n), windows (batched DataWindow), z_ws (B,nz))
     -> (z (B,nz), converged (B,)). float32 throughput path.
@@ -137,8 +138,16 @@ def make_lbmpc_solver_fused(
         # inside one XLA program the sequential rollouts already pipeline
         # (no per-op dispatch to save), and the 6x window tiling only adds
         # HBM traffic. Keep the straightforward sequential ladder.
+        # `alphas` may be a flat candidate tuple (same ladder every GN
+        # iteration) or a tuple of per-iteration tuples — measured on-chip
+        # (scripts/alpha_stats.py, bench distribution): GN iter 0 accepts
+        # alpha=1 on 100.000% of lanes, so its ladder can be a single
+        # guarded evaluation; iter 1 keeps fallbacks for its 13% tail.
+        per_gn = isinstance(alphas[0], (tuple, list))
         mu_last = jnp.zeros((dx0.shape[0],), f32)
-        for _ in range(sqp_iters):
+        for it in range(sqp_iters):
+            sched = tuple(alphas[min(it, len(alphas) - 1)]) if per_gn \
+                else tuple(alphas)
             e, J = resjac_b(z, dx0, windows)               # (B, ne), (B, ne, nz)
             Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
             Hb = Hb + 1e-6 * jnp.eye(Hb.shape[-1], dtype=f32)[None]
@@ -146,7 +155,10 @@ def make_lbmpc_solver_fused(
             sub = fused.raw_with_H(Hb, gb, h - z @ Gd.T)
             d = sub.x
             mu_last = sub.mu
-            m0, v0 = merit(z)
+            # merit at the current iterate reuses the residual the Jacobian
+            # pass just computed — identical value, one rollout saved per GN
+            v0 = jnp.sum(jnp.maximum(z @ Gd.T - h, 0.0), axis=1)
+            m0 = jnp.sum(e * e, axis=1) + rho * v0
             dirderiv = jnp.sum(gb * d, axis=1) - rho * v0
             # fixed Armijo ladder, batched; if every alpha is rejected (e.g. a
             # diverged f32 QP direction, possibly NaN), take NO step — a NaN
@@ -154,7 +166,7 @@ def make_lbmpc_solver_fused(
             # step blindly by the smallest alpha and poison itself
             accepted = jnp.zeros_like(m0, bool)
             alpha_sel = jnp.zeros_like(m0)
-            for a in _ALPHAS:
+            for a in sched:
                 m_a, _ = merit(z + a * d)
                 ok = jnp.logical_and(~accepted, m_a <= m0 + 1e-4 * a * dirderiv)
                 alpha_sel = jnp.where(ok, a, alpha_sel)
@@ -207,6 +219,7 @@ def make_lbmpc_solver_hybrid(
     repair_sqp_iters: int | None = None,
     repair_warm: str = "ws",
     qp_kernel: str = "xla",
+    alphas: tuple = _ALPHAS,
 ):
     """Fused batch SQP + fixed-shape vmapped repair of flagged lanes.
 
@@ -236,7 +249,7 @@ def make_lbmpc_solver_hybrid(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
         ridge=ridge, dx_ref=dx_ref, sqp_iters=sqp_iters, ipm_iters=ipm_iters,
         tile=tile, rho=rho, interpret=interpret, scale=scale,
-        qp_kernel=qp_kernel)
+        qp_kernel=qp_kernel, alphas=alphas)
     vm = make_lbmpc_solver(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
         ridge=ridge, dx_ref=dx_ref,

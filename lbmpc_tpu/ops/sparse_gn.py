@@ -124,36 +124,65 @@ def make_stage_gn(A, B, Ks, Q, R, P, T, LAMBDA, PSI, cs, N, delta,
     )
 
 
-def _riccati_cross(As, Bs, Qs, Ss, Rs, qs, rs, PN, pN):
-    """LQ with stage-varying dynamics, x-u cross terms, and w_0 = 0:
+_UNROLL = 8  # scan unrolling: fewer, larger loop bodies (issue-bound sweeps)
 
-      min sum_k 1/2 w_k'Q_k w_k + w_k'S_k c_k + 1/2 c_k'R_k c_k
-              + q_k'w_k + r_k'c_k  +  1/2 w_N'PN w_N + pN'w_N
-      s.t. w_{k+1} = A_k w_k + B_k c_k,  w_0 = 0.
 
-    Returns (W (N+1, nw), C (N, m)). Sequential Riccati scan (the
-    associative-scan variant covers the cross-free case only; this path is
-    guarded against the batch regime that crashed the worker — see
-    controllers/lbmpc_sparse notes)."""
-    nw = As.shape[-1]
-
-    def backward(carry, inp):
-        V, v = carry
-        Ak, Bk, Qk, Sk, Rk, qk, rk = inp
+def _riccati_factor(As, Bs, Qs, Ss, Rs, PN):
+    """Backward quadratic sweep ONCE per IPM iteration (round-3 perf
+    restructure): the value Hessian recursion depends only on
+    (A, B, Q, S, R, PN) — shared by the predictor, the corrector, and every
+    theta coupling column — so it is factored out and its per-stage
+    artifacts stored. Returns stacks consumed by _riccati_solve:
+      Kg  (N, m, nw)   feedback gains
+      Acl (N, nw, nw)  closed-loop dynamics
+      W12 (N, nw, m)   S + K'R + Acl'V B   (linear-pass coupling)
+      Swi (N, m, m)    (R + B'V B)^-1
+    """
+    def backward(V, inp):
+        Ak, Bk, Qk, Sk, Rk = inp
         BtV = Bk.T @ V
         Sw = Rk + BtV @ Bk
         M = Sk.T + BtV @ Ak
-        K = -jnp.linalg.solve(Sw, M)
-        kf = -jnp.linalg.solve(Sw, Bk.T @ v + rk)
+        if Sw.shape[-1] == 1:
+            Swi = 1.0 / Sw
+            K = -M * Swi[0, 0]
+        else:
+            Swi = jnp.linalg.inv(Sw)
+            K = -Swi @ M
         Acl = Ak + Bk @ K
         V1 = Qk + K.T @ Rk @ K + K.T @ Sk.T + Sk @ K + Acl.T @ V @ Acl
-        v1 = (qk + Sk @ kf + K.T @ (rk + Rk @ kf)
-              + Acl.T @ (v + V @ (Bk @ kf)))
-        return (V1, v1), (K, kf)
+        W12 = Sk + K.T @ Rk + Acl.T @ (V @ Bk)
+        return V1, (K, Acl, W12, Swi)
 
-    rev = jax.tree.map(lambda a: a[::-1], (As, Bs, Qs, Ss, Rs, qs, rs))
-    (_, _), (Kks, kfs) = jax.lax.scan(backward, (PN, pN), rev)
-    Kks = Kks[::-1]
+    rev = jax.tree.map(lambda a: a[::-1], (As, Bs, Qs, Ss, Rs))
+    _, (Kg, Acl, W12, Swi) = jax.lax.scan(backward, PN, rev, unroll=_UNROLL)
+    return jax.tree.map(lambda a: a[::-1], (Kg, Acl, W12, Swi))
+
+
+def _riccati_solve(factor, As, Bs, qs, rs, pN):
+    """Linear backward + forward rollout against a stored factor.
+
+    Exactly the affine part of the classic sweep: with v_{k+1} the carry,
+      kf_k = -Swi_k (B_k' v_{k+1} + r_k)
+      v_k  = q_k + K_k' r_k + W12_k kf_k + Acl_k' v_{k+1}
+    then the forward rollout c_k = K_k w_k + kf_k. Returns (W (N+1, nw),
+    C (N, m)) — identical (exact arithmetic) to the old fused quadratic
+    sweep, at ~1/3 of its per-stage matmul work."""
+    Kg, Acl, W12, Swi = factor
+    nw = As.shape[-1]
+
+    def backward(v, inp):
+        K, Ac, W12k, Swik, Bk, qk, rk = inp
+        if Swik.shape[-1] == 1:
+            kf = -(Bk.T @ v + rk) * Swik[0, 0]
+        else:
+            kf = -(Swik @ (Bk.T @ v + rk))
+        v1 = qk + K.T @ rk + W12k @ kf + Ac.T @ v
+        return v1, kf
+
+    rev = jax.tree.map(lambda a: a[::-1],
+                       (Kg, Acl, W12, Swi, Bs, qs, rs))
+    _, kfs = jax.lax.scan(backward, pN, rev, unroll=_UNROLL)
     kfs = kfs[::-1]
 
     def forward(w, inp):
@@ -162,8 +191,26 @@ def _riccati_cross(As, Bs, Qs, Ss, Rs, qs, rs, PN, pN):
         return Ak @ w + Bk @ c, (w, c)
 
     wN, (W, C) = jax.lax.scan(
-        forward, jnp.zeros((nw,), As.dtype), (As, Bs, Kks, kfs))
+        forward, jnp.zeros((nw,), As.dtype), (As, Bs, Kg, kfs),
+        unroll=_UNROLL)
     return jnp.concatenate([W, wN[None]]), C
+
+
+def _riccati_cross(As, Bs, Qs, Ss, Rs, qs, rs, PN, pN):
+    """LQ with stage-varying dynamics, x-u cross terms, and w_0 = 0:
+
+      min sum_k 1/2 w_k'Q_k w_k + w_k'S_k c_k + 1/2 c_k'R_k c_k
+              + q_k'w_k + r_k'c_k  +  1/2 w_N'PN w_N + pN'w_N
+      s.t. w_{k+1} = A_k w_k + B_k c_k,  w_0 = 0.
+
+    Returns (W (N+1, nw), C (N, m)). Single-shot convenience wrapper over
+    the factor/solve split (the IPM loop below calls them separately to
+    amortize the quadratic sweep across its 2 + nth right-hand sides).
+    The associative-scan variant covers the cross-free case only; this path
+    is guarded against the batch regime that crashed the worker — see
+    runtime/scenario.py notes."""
+    factor = _riccati_factor(As, Bs, Qs, Ss, Rs, PN)
+    return _riccati_solve(factor, As, Bs, qs, rs, pN)
 
 
 class SparseGNSolution(NamedTuple):
@@ -295,6 +342,12 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
         Hth_eff = Hth_cost + qp.Fw_th.T @ (Dw[:, None] * qp.Fw_th)
         CwT_eff = qp.Fw_x.T @ (Dw[:, None] * qp.Fw_th)   # (n, nth) on dx_kT
 
+        # ONE quadratic backward sweep per iteration; the nth + 2 right-hand
+        # sides (theta columns, predictor, corrector) reuse its factor
+        # through the cheap linear sweeps (round-3 restructure — the
+        # quadratic sweep was ~3x the sequential matmul depth)
+        factor = _riccati_factor(As, Bs, Qs, Ss, Rs, PN)
+
         # ---- theta coupling columns (shared by predictor + corrector) ----
         def theta_col(i):
             e = jnp.zeros((nth,), dtype).at[i].set(1.0)
@@ -308,7 +361,7 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
             # CcL applies at cost stages only (the tail stages of the
             # fmincon family carry no running cost)
             rc = cost_m[:, None] * (CcL @ e)[None, :]
-            return _riccati_cross(As, Bs, Qs, Ss, Rs, qw, rc, PN, pN)
+            return _riccati_solve(factor, As, Bs, qw, rc, pN)
 
         cols = [theta_col(i) for i in range(nth)]
 
@@ -381,7 +434,7 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
             else:
                 pN_r = pN_r.at[n:].add(awx)
             rc_r = gC + au_c
-            W0, C0 = _riccati_cross(As, Bs, Qs, Ss, Rs, qw, rc_r, PN, pN_r)
+            W0, C0 = _riccati_solve(factor, As, Bs, qw, rc_r, pN_r)
             rhs_th = -(rth + awth) - coupling_step(W0, C0)
             dth = jnp.linalg.solve(Smat, rhs_th)
             dW = W0 + sum(dth[i] * cols[i][0] for i in range(nth))

@@ -75,6 +75,66 @@ def make_stage_qp(A, B, Q, R, P, T, LAMBDA, PSI, cs, N, delta) -> StageQP:
     )
 
 
+_UNROLL = 8  # scan unrolling: fewer, larger loop bodies (issue-bound sweeps)
+
+
+def _riccati_factor(A, B, Qx, Ru, PN):
+    """Backward quadratic sweep ONCE per IPM iteration (round-3 perf
+    restructure — see ops/sparse_gn.py:_riccati_factor): the value Hessian
+    recursion depends only on (Qx, Ru, PN), shared by the theta columns,
+    predictor, and corrector. Returns stacks (K, Acl, W12, Si) for
+    _riccati_apply, with W12 = K'Ru + Acl'V B and Si = (Ru + B'V B)^-1."""
+    def backward(V, inp):
+        Qk, Rk = inp
+        BtV = B.T @ V
+        S = Rk + BtV @ B
+        if S.shape[-1] == 1:
+            Si = 1.0 / S
+            K = -(BtV @ A) * Si[0, 0]
+        else:
+            Si = jnp.linalg.inv(S)
+            K = -(Si @ (BtV @ A))
+        Acl = A + B @ K
+        V1 = Qk + K.T @ Rk @ K + Acl.T @ V @ Acl
+        W12 = K.T @ Rk + Acl.T @ (V @ B)
+        return V1, (K, Acl, W12, Si)
+
+    rev = jax.tree.map(lambda a: a[::-1], (Qx, Ru))
+    _, out = jax.lax.scan(backward, PN, rev, unroll=_UNROLL)
+    return jax.tree.map(lambda a: a[::-1], out)
+
+
+def _riccati_apply(factor, A, B, qx, ru, pN):
+    """Linear backward + forward rollout against a stored factor: exactly
+    the affine part of the classic sweep (kf = -Si (B'v + r),
+    v1 = q + K'r + W12 kf + Acl'v), identical in exact arithmetic to the
+    fused quadratic sweep at ~1/3 of its per-stage matmul work."""
+    K, Acl, W12, Si = factor
+    n = A.shape[0]
+
+    def backward(v, inp):
+        Kk, Ak, Wk, Sik, qk, rk = inp
+        if Sik.shape[-1] == 1:
+            kf = -(B.T @ v + rk) * Sik[0, 0]
+        else:
+            kf = -(Sik @ (B.T @ v + rk))
+        v1 = qk + Kk.T @ rk + Wk @ kf + Ak.T @ v
+        return v1, kf
+
+    rev = jax.tree.map(lambda a: a[::-1], (K, Acl, W12, Si, qx, ru))
+    _, kfs = jax.lax.scan(backward, pN, rev, unroll=_UNROLL)
+    kfs = kfs[::-1]
+
+    def forward(x, inp):
+        Kk, kf = inp
+        u = Kk @ x + kf
+        return A @ x + B @ u, (x, u)
+
+    xN, (X, U) = jax.lax.scan(forward, jnp.zeros((n,), A.dtype), (K, kfs),
+                              unroll=_UNROLL)
+    return jnp.concatenate([X, xN[None]]), U
+
+
 def _riccati_solve(A, B, Qx, qx, Ru, ru, PN, pN, parallel: bool = False):
     """Equality-constrained LQ with stage-varying weights and dx_0 = 0:
     min sum_k 1/2 x'Qx_k x + qx_k'x + 1/2 u'Ru_k u + ru_k'u
@@ -89,32 +149,8 @@ def _riccati_solve(A, B, Qx, qx, Ru, ru, PN, pN, parallel: bool = False):
                            q=qx, r=ru, p=pN)
         return sol.X, sol.U
 
-    def backward(carry, inp):
-        V, v = carry
-        Qk, qk, Rk, rk = inp
-        BtV = B.T @ V
-        S = Rk + BtV @ B
-        K = -jnp.linalg.solve(S, BtV @ A)
-        kf = -jnp.linalg.solve(S, B.T @ v + rk)
-        Acl = A + B @ K
-        V1 = Qk + K.T @ Rk @ K + Acl.T @ V @ Acl
-        v1 = qk + K.T @ (rk + Rk @ kf) + Acl.T @ (V @ (B @ kf) + v)
-        return (V1, v1), (K, kf)
-
-    rev = jax.tree.map(lambda a: a[::-1], (Qx, qx, Ru, ru))
-    (_, _), (Ks, kfs) = jax.lax.scan(backward, (PN, pN), rev)
-    Ks = Ks[::-1]
-    kfs = kfs[::-1]
-
-    n = A.shape[0]
-
-    def forward(x, inp):
-        K, kf = inp
-        u = K @ x + kf
-        return A @ x + B @ u, (x, u)
-
-    xN, (X, U) = jax.lax.scan(forward, jnp.zeros((n,), A.dtype), (Ks, kfs))
-    return jnp.concatenate([X, xN[None]]), U
+    factor = _riccati_factor(A, B, Qx, Ru, PN)
+    return _riccati_apply(factor, A, B, qx, ru, pN)
 
 
 class SparseIPMSolution(NamedTuple):

@@ -104,16 +104,34 @@ def main():
             compile_s=round(compile_s, 1))), flush=True)
         return step, conv
 
-    tiles = [int(t) for t in sys.argv[1:]] or [256]
-    bench("xla_s2i16", make_lbmpc_solver_fused(
-        qp, sc.A, sc.B, sc.ocp.Ks, w, **kw))
-    for t in tiles:
-        bench(f"pallas_s2i16_t{t}", make_lbmpc_solver_fused(
-            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas", tile=t, **kw))
-    bench("hybrid_pallas_t%d" % tiles[0], make_lbmpc_solver_hybrid(
-        qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas", tile=tiles[0],
-        repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
-        repair_warm="fused", **kw))
+    mode = sys.argv[1] if len(sys.argv) > 1 else "ab"
+    if mode == "ab":
+        bench("xla_s2i16", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, **kw))
+        bench("pallas_s2i16_t256", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas", tile=256, **kw))
+        bench("hybrid_pallas_t256", make_lbmpc_solver_hybrid(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas", tile=256,
+            repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
+            repair_warm="fused", **kw))
+    elif mode == "ladder":
+        # ladder variants on the pallas QP backend (alpha_stats.py: GN0
+        # accepts alpha=1 at 100%, GN1 at 86.7% with a graded tail)
+        LADDERS = {
+            "full6": (1.0, 0.5, 0.25, 0.125, 0.0625),
+            "gn0_1_gn1_3": ((1.0,), (1.0, 0.5, 0.25)),
+            "gn0_1_gn1_2": ((1.0,), (1.0, 0.5)),
+            "gn0_1_gn1_1": ((1.0,), (1.0,)),
+        }
+        for name, al in LADDERS.items():
+            bench(f"pallas_{name}", make_lbmpc_solver_fused(
+                qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas", tile=256,
+                alphas=al, **kw))
+        bench("hybrid_pallas_gn013", make_lbmpc_solver_hybrid(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas", tile=256,
+            alphas=((1.0,), (1.0, 0.5, 0.25)),
+            repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
+            repair_warm="fused", **kw))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,55 @@
+"""Fleet HBM-budget bracket sweep (round-3 VERDICT item 7).
+
+Probes the fused-cohort OOM boundary at 3-5 chunk sizes around the round-2
+2-point anecdote ({8192 OK, 16384 fails}), each in its OWN subprocess so an
+OOM or worker crash cannot kill the sweep. The measured bracket calibrates
+`runtime/sharding.estimate_fleet_budget`'s per-lane live-set constant
+(fused_kkt_copies) and the calibration test asserts the model reproduces the
+boundary.
+
+Usage: python scripts/fleet_budget_sweep.py [chunk ...]
+"""
+
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).parent.parent
+
+
+def probe(chunk: int) -> dict:
+    cmd = [sys.executable, str(REPO / "examples" / "fleet_100k.py"),
+           "--fused", "--backend", "fused", "--chunk", str(chunk),
+           "--instances", str(chunk), "--steps", "3"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+                           cwd=str(REPO))
+    except subprocess.TimeoutExpired:
+        return dict(chunk=chunk, ok=False, why="timeout")
+    tail = (r.stdout + r.stderr)[-800:]
+    oomish = any(s in tail for s in
+                 ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
+                  "Allocator", "UNAVAILABLE"))
+    return dict(chunk=chunk, ok=(r.returncode == 0), rc=r.returncode,
+                oom_marker=oomish, tail=tail.splitlines()[-3:])
+
+
+def main():
+    chunks = [int(c) for c in sys.argv[1:]] or [8192, 10240, 12288, 14336,
+                                                16384]
+    results = []
+    for c in sorted(chunks):
+        res = probe(c)
+        results.append(res)
+        print(json.dumps(res), flush=True)
+        if not res["ok"]:
+            break  # larger chunks will also fail; don't hammer the worker
+    ok = [r["chunk"] for r in results if r["ok"]]
+    bad = [r["chunk"] for r in results if not r["ok"]]
+    print(json.dumps(dict(largest_ok=max(ok) if ok else 0,
+                          smallest_fail=min(bad) if bad else None)))
+
+
+if __name__ == "__main__":
+    main()
