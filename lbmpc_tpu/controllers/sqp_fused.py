@@ -70,12 +70,35 @@ def make_lbmpc_solver_fused(
     IPM loop in one kernel launch, all state in VMEM) instead of the
     XLA-composed iteration with Pallas factor/solve (ops/ipm_fused).
     Identical semantics (same d_cap/ridge/equilibration/tau); tile is the
-    Pallas lane-tile in both cases."""
+    Pallas lane-tile in both cases. qp_kernel="pallas_full" additionally
+    moves the residual/Jacobian scan and the GN normal terms into
+    ops/pallas_gn's kernel (phase budget: they cost 3.5 ms/step in XLA,
+    nearly all op-issue overhead), handing the packed H straight to the QP
+    kernel — two launches per GN iteration, no XLA-side J/H materialization
+    (fmincon family, m=1)."""
     f32 = jnp.float32
     Gd = jnp.asarray(qp.G, f32)
     h0d = jnp.asarray(qp.h0, f32)
     Hpd = jnp.asarray(qp.Hp, f32)
-    if qp_kernel == "pallas":
+    gn_cache: dict = {}
+    if qp_kernel == "pallas_full":
+        if family != "fmincon" or qp.m != 1:
+            raise ValueError("qp_kernel='pallas_full' covers the fmincon "
+                             "m=1 configuration")
+
+        def gn_raw_for(q_win: int):
+            # the GN kernel's BlockSpecs need the static window size; build
+            # lazily at trace time (cached per q)
+            if q_win not in gn_cache:
+                from lbmpc_tpu.ops.pallas_gn import build_pallas_gn_kernel
+
+                gn_cache[q_win] = build_pallas_gn_kernel(
+                    qp, A, B, Ks, w, delta=delta, bandwidth=bandwidth,
+                    ridge=ridge, dx_ref=dx_ref, q=q_win,
+                    tile=min(tile, 256), interpret=interpret)
+            return gn_cache[q_win]
+
+    if qp_kernel in ("pallas", "pallas_full"):
         from lbmpc_tpu.ops.pallas_ipm import build_pallas_qp_solver_h
 
         pallas_raw = build_pallas_qp_solver_h(
@@ -148,13 +171,18 @@ def make_lbmpc_solver_fused(
         for it in range(sqp_iters):
             sched = tuple(alphas[min(it, len(alphas) - 1)]) if per_gn \
                 else tuple(alphas)
-            e, J = resjac_b(z, dx0, windows)               # (B, ne), (B, ne, nz)
-            Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
-            Hb = Hb + 1e-6 * jnp.eye(Hb.shape[-1], dtype=f32)[None]
-            gb = 2.0 * jnp.einsum("bei,be->bi", J, e, precision=jax.lax.Precision.HIGHEST)
-            sub = fused.raw_with_H(Hb, gb, h - z @ Gd.T)
-            d = sub.x
-            mu_last = sub.mu
+            if qp_kernel == "pallas_full":
+                e, H_pk, gb = gn_raw_for(windows.X.shape[-2])(
+                    z, dx0, windows)
+                d, mu_last = pallas_raw.raw_packed(H_pk, gb, h - z @ Gd.T)
+            else:
+                e, J = resjac_b(z, dx0, windows)           # (B, ne), (B, ne, nz)
+                Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
+                Hb = Hb + 1e-6 * jnp.eye(Hb.shape[-1], dtype=f32)[None]
+                gb = 2.0 * jnp.einsum("bei,be->bi", J, e, precision=jax.lax.Precision.HIGHEST)
+                sub = fused.raw_with_H(Hb, gb, h - z @ Gd.T)
+                d = sub.x
+                mu_last = sub.mu
             # merit at the current iterate reuses the residual the Jacobian
             # pass just computed — identical value, one rollout saved per GN
             v0 = jnp.sum(jnp.maximum(z @ Gd.T - h, 0.0), axis=1)

@@ -95,7 +95,7 @@ def build_pallas_qp_solver_h(
         h = h_ref[:]
         GTm = GT_ref[:]
         Gm = G_ref[:]
-        Hcols = [H_ref[0, :, j * T:(j + 1) * T] for j in range(nz_p)]
+        Hcols = [H_ref[:, j * T:(j + 1) * T] for j in range(nz_p)]
 
         rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
         rows_m = jax.lax.broadcasted_iota(jnp.int32, (mI_p, 1), 0)
@@ -222,48 +222,69 @@ def build_pallas_qp_solver_h(
             Hp = Hp.at[:, :nz, :nz].set(H_b.astype(jnp.float32))
             di = jnp.arange(nz, nz_p)
             Hp = Hp.at[:, di, di].set(1.0)
+            # 2D packed layout: [i, tile*(nz_p*T) + j*T + t] = H[tile*T+t, i, j]
             Hpk = (Hp.transpose(1, 2, 0)
                    .reshape(nz_p, nz_p, Bp // T, T)
-                   .transpose(2, 0, 1, 3)
-                   .reshape(Bp // T, nz_p, nz_p * T))
+                   .transpose(0, 2, 1, 3)
+                   .reshape(nz_p, (Bp // T) * nz_p * T))
             g_t = jnp.zeros((nz_p, Bp), jnp.float32).at[:nz, :].set(
                 g.astype(jnp.float32).T)
             h_t = jnp.full((mI_p, Bp), BIG, jnp.float32).at[:mI, :].set(
                 h.astype(jnp.float32).T)
-            x_t, mu_t = pl.pallas_call(
-                kernel,
-                grid=(Bp // T,),
-                in_specs=[
-                    pl.BlockSpec((1, nz_p, nz_p * T), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nz_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((mI_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nz_p, mI_p), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((mI_p, nz_p), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec((nz_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((nz_p, Bp), jnp.float32),
-                    jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((nz_p, T), jnp.float32),
-                    pltpu.VMEM((mI_p, T), jnp.float32),
-                    pltpu.VMEM((mI_p, T), jnp.float32),
-                ],
-                interpret=interpret,
-            )(Hpk, g_t, h_t, GT_j, Gp_j)
+            x_t, mu_t = _call_packed(Hpk, g_t, h_t, Bp)
             return x_t[:nz, :B].T, mu_t[0, :B]
 
+    def _call_packed(Hpk, g_t, h_t, Bp):
+        x_t, mu_t = pl.pallas_call(
+            kernel,
+            grid=(Bp // T,),
+            in_specs=[
+                pl.BlockSpec((nz_p, nz_p * T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nz_p, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mI_p, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nz_p, mI_p), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mI_p, nz_p), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nz_p, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nz_p, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nz_p, T), jnp.float32),
+                pltpu.VMEM((mI_p, T), jnp.float32),
+                pltpu.VMEM((mI_p, T), jnp.float32),
+            ],
+            interpret=interpret,
+        )(Hpk, g_t, h_t, GT_j, Gp_j)
+        return x_t, mu_t
+
+    def raw_packed(H_pk: jax.Array, g: jax.Array, h: jax.Array):
+        """Like raw(), but H arrives already in the packed per-tile layout
+        ((B//T, nz_p, nz_p*T)) that ops/pallas_gn's kernel emits — the two
+        kernels hand off with zero XLA-side repacking. Requires B % tile == 0
+        (the hot path's batch is)."""
+        with jax.enable_x64(False):
+            B = g.shape[0]
+            assert B % T == 0, f"raw_packed needs batch {B} % tile {T} == 0"
+            g_t = jnp.zeros((nz_p, B), jnp.float32).at[:nz, :].set(
+                g.astype(jnp.float32).T)
+            h_t = jnp.full((mI_p, B), BIG, jnp.float32).at[:mI, :].set(
+                h.astype(jnp.float32).T)
+            x_t, mu_t = _call_packed(H_pk, g_t, h_t, B)
+            return x_t[:nz, :].T, mu_t[0, :]
+
+    raw.raw_packed = raw_packed
     return raw
 
 

@@ -132,6 +132,19 @@ def main():
             alphas=((1.0,), (1.0, 0.5, 0.25)),
             repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
             repair_warm="fused", **kw))
+    elif mode == "full":
+        # GN phase in-kernel too (ops/pallas_gn): two launches per GN iter
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        bench("pallas_full_ladder6", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full", tile=256,
+            **kw))
+        bench("pallas_full_gn013", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full", tile=256,
+            alphas=al, **kw))
+        bench("hybrid_pfull_gn013", make_lbmpc_solver_hybrid(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full", tile=256,
+            alphas=al, repair_frac=24.0 / batch, repair_sqp_iters=1,
+            repair_ipm_iters=8, repair_warm="fused", **kw))
 
 
 if __name__ == "__main__":
