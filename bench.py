@@ -58,32 +58,40 @@ def main():
     )
     w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
                           sc.ocp.LAMBDA, sc.ocp.PSI)
-    # Reduced-iteration fused config: on-chip A/B (scripts/sweep_fused_conv.py,
-    # 2026-08) shows 2 GN x 16 IPM iterations lands in the SAME error
-    # distribution vs the vmapped reference as 3x20 (p50 8.1e-3 / max 1.1e-2
-    # in c0 — the documented fused-vs-vmapped class) with BETTER convergence
-    # (99.4% vs 99.3%); closed-loop accuracy of reduced-iteration fused
-    # episodes vs f64 is covered by
-    # tests/test_runtime.py::test_batched_fused_episode_matches_f64_episodes.
+    # Round-3 headline configuration (scripts/bench_pallas_sqp.py A/Bs):
+    #   - qp_kernel="pallas_full": the GN phase (residual + hand-derived
+    #     Jacobian + H/g normal terms, ops/pallas_gn.py) and the full
+    #     Mehrotra IPM (ops/pallas_ipm.py) each run as ONE kernel launch
+    #     with batch-in-lanes VMEM-resident state — two launches per GN
+    #     iteration, no XLA-side J/H materialization (the r2 XLA path spent
+    #     3.5 ms/step there, nearly all op-issue overhead);
+    #   - per-GN Armijo ladders ((1.0,), (1.0, .5, .25)): measured on the
+    #     bench distribution (scripts/alpha_stats.py) GN iter 0 accepts
+    #     alpha=1 on 100.000% of lanes; iter 1 keeps fallbacks for its 13%
+    #     tail; merit at the iterate reuses the Jacobian pass's residual;
+    #   - same s2i16 iteration budget as round 2 (accuracy class unchanged:
+    #     tests/test_pallas_gn.py, test_pallas_ipm.py pin equality to the
+    #     XLA path at f32 roundoff).
+    LADDER = ((1.0,), (1.0, 0.5, 0.25))
     fused_fast_solve = make_lbmpc_solver_fused(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
+        qp_kernel="pallas_full", tile=256, alphas=LADDER,
     )
-    # Headline backend (round 2): fused s2i16 + gather-compacted repair of
-    # the flagged mu-stall lanes — top_k gathers K=24 lanes, a 1-GN/8-IPM
-    # vmapped re-solve seeded at the fused iterate repairs them in-place.
-    # On-chip frontier (scripts/sweep_repair.py, 2026-08): conv 1.0 with
-    # zero unconverged lanes per call at every budget down to K24 x 1-GN/8-IPM
-    # (213k solves/s); deeper repair budgets only cost time (repair lanes are
-    # near-optimal already) and the deferred whole-call repair variant
-    # (make_lbmpc_solver_fleet) schedules worse (135k).
+    # conv-1.0 headline: + gather-compacted repair of the flagged mu-stall
+    # lanes, now ALSO through the fused pallas machinery at K=24 lanes
+    # (repair_backend="fused": 1 GN x 8 IPM warm-seeded at the fused
+    # iterate; the old vmapped repair cost ~1.4 ms of K-insensitive
+    # sequential depth, the fused one ~0.2 ms). On-chip: conv 1.0, 3.88 ms,
+    # 527k solves/s; deeper repair budgets again only cost time.
     hybrid_solve = make_lbmpc_solver_hybrid(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
+        qp_kernel="pallas_full", tile=256, alphas=LADDER,
         repair_frac=24.0 / 2048.0, repair_sqp_iters=1, repair_ipm_iters=8,
-        repair_warm="fused",
+        repair_warm="fused", repair_backend="fused",
     )
 
     rng = np.random.default_rng(0)
@@ -129,14 +137,14 @@ def main():
 
     backends = {
         "vmapped_sqp": jax.vmap(sc.solve),
-        "fused_sqp_s2i16": fused_fast_solve,
-        "hybrid_s2i16_repair": hybrid_solve,
+        "pfull_sqp_s2i16": fused_fast_solve,
+        "hybrid_pfull_s2i16": hybrid_solve,
     }
     best = None
     runs = {}
     for name, batch, R in (("vmapped_sqp", 8192, 8),
-                           ("fused_sqp_s2i16", 2048, 32),
-                           ("hybrid_s2i16_repair", 2048, 32)):
+                           ("pfull_sqp_s2i16", 2048, 32),
+                           ("hybrid_pfull_s2i16", 2048, 32)):
         dx, windows, z0 = batch_inputs(batch, R)
         run = make_scan(backends[name], R)
         runs[name] = (run, (dx, windows, z0))
@@ -199,15 +207,20 @@ def main():
                                              fused_sqp_op_split,
                                              program_costs)
 
-    ne = (N - 2) * 5 + 4 + 1
+    ne = (N - 2) * 5 + 4 + 4
     shape_kw = dict(N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz)
-    phases = fused_sqp_flops_per_solve(sqp_iters=2, ipm_iters=16, **shape_kw)
-    split = fused_sqp_op_split(sqp_iters=2, ipm_iters=16, **shape_kw)
-    # the K=24 1-GN/8-IPM repair touches 24/2048 of lanes: ~1% extra
+    # n_merit=2: per-GN average of the asymmetric ((1,), (1,.5,.25)) ladder
+    # (m0 reuses the Jacobian pass's residual, costing no extra rollout)
+    phases = fused_sqp_flops_per_solve(sqp_iters=2, ipm_iters=16, n_merit=2,
+                                       **shape_kw)
+    split = fused_sqp_op_split(sqp_iters=2, ipm_iters=16, n_merit=2,
+                               **shape_kw)
+    # the K=24 fused 1-GN/8-IPM repair touches 24/2048 of lanes: ~1% extra
     rfrac = 24.0 / 2048.0
     repair_frac_flops = rfrac * fused_sqp_flops_per_solve(
-        sqp_iters=1, ipm_iters=8, **shape_kw)["total"]
-    repair_split = fused_sqp_op_split(sqp_iters=1, ipm_iters=8, **shape_kw)
+        sqp_iters=1, ipm_iters=8, n_merit=3, **shape_kw)["total"]
+    repair_split = fused_sqp_op_split(sqp_iters=1, ipm_iters=8, n_merit=3,
+                                      **shape_kw)
     hyb = best["name"].startswith("hybrid")
     flops_per_solve = phases["total"] + (repair_frac_flops if hyb else 0.0)
     mxu_solve = split["mxu"] + (rfrac * repair_split["mxu"] if hyb else 0.0)

@@ -248,6 +248,7 @@ def make_lbmpc_solver_hybrid(
     repair_warm: str = "ws",
     qp_kernel: str = "xla",
     alphas: tuple = _ALPHAS,
+    repair_backend: str = "vmapped",
 ):
     """Fused batch SQP + fixed-shape vmapped repair of flagged lanes.
 
@@ -278,12 +279,34 @@ def make_lbmpc_solver_hybrid(
         ridge=ridge, dx_ref=dx_ref, sqp_iters=sqp_iters, ipm_iters=ipm_iters,
         tile=tile, rho=rho, interpret=interpret, scale=scale,
         qp_kernel=qp_kernel, alphas=alphas)
-    vm = make_lbmpc_solver(
-        qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
-        ridge=ridge, dx_ref=dx_ref,
-        sqp_iters=repair_sqp_iters or sqp_iters,
-        ipm_iters=repair_ipm_iters, dtype=jnp.float32)
-    vm_b = jax.vmap(vm, in_axes=(0, 0, 0))
+    if repair_backend == "fused":
+        # repair through the batch-level machinery at the compacted size:
+        # the vmapped per-problem repair costs ~1.4 ms of pure sequential op
+        # depth regardless of K; a K-lane fused pass (same kernels, deeper
+        # budget, fresh IPM state from the warm-seeded GN relinearization)
+        # costs a fraction. Falls back conceptually to the same math.
+        _rep_cache: dict = {}
+
+        def _rep_for(K):
+            if K not in _rep_cache:
+                _rep_cache[K] = make_lbmpc_solver_fused(
+                    qp, A, B, Ks, w, family=family, delta=delta,
+                    bandwidth=bandwidth, ridge=ridge, dx_ref=dx_ref,
+                    sqp_iters=repair_sqp_iters or sqp_iters,
+                    ipm_iters=repair_ipm_iters, tile=K, rho=rho,
+                    interpret=interpret, scale=scale, qp_kernel=qp_kernel,
+                    alphas=(1.0, 0.5, 0.25))
+            return _rep_cache[K]
+
+        def vm_b(dxs, wins, zs):
+            return _rep_for(dxs.shape[0]).raw(dxs, wins, zs)
+    else:
+        vm = make_lbmpc_solver(
+            qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
+            ridge=ridge, dx_ref=dx_ref,
+            sqp_iters=repair_sqp_iters or sqp_iters,
+            ipm_iters=repair_ipm_iters, dtype=jnp.float32)
+        vm_b = jax.vmap(vm, in_axes=(0, 0, 0))
     f32 = jnp.float32
 
     def _solve(dx0, windows, z_ws):

@@ -145,6 +145,14 @@ def main():
             qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full", tile=256,
             alphas=al, repair_frac=24.0 / batch, repair_sqp_iters=1,
             repair_ipm_iters=8, repair_warm="fused", **kw))
+    elif mode == "repair":
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        for rk, rs, ri in ((24, 1, 8), (24, 2, 16), (128, 2, 16)):
+            bench(f"hyb_pfull_frep_k{rk}_s{rs}i{ri}", make_lbmpc_solver_hybrid(
+                qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full",
+                tile=256, alphas=al, repair_frac=rk / batch,
+                repair_sqp_iters=rs, repair_ipm_iters=ri,
+                repair_warm="fused", repair_backend="fused", **kw))
 
 
 if __name__ == "__main__":
