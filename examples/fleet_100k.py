@@ -44,6 +44,10 @@ def main():
                     choices=["fused", "hybrid"],
                     help="fused cohort solver; 'hybrid' (default) adds the "
                          "gather-compacted per-step repair (conv 1.0)")
+    ap.add_argument("--qp-kernel", default="xla",
+                    choices=["xla", "pallas", "pallas_full"],
+                    help="QP/GN kernel backend; 'pallas_full' = the round-3 "
+                         "all-Pallas phases (bench headline)")
     args = ap.parse_args()
 
     import jax
@@ -103,7 +107,8 @@ def main():
     if args.fused:
         from lbmpc_tpu.runtime.scenario import build_fleet_episode
 
-        _, run_cohort = build_fleet_episode(cfg, backend=args.backend)
+        _, run_cohort = build_fleet_episode(cfg, backend=args.backend,
+                                            qp_kernel=args.qp_kernel)
 
         def run(dx_all):
             cohorts = dx_all.reshape(-1, args.chunk, dx_all.shape[-1])

@@ -276,7 +276,9 @@ def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
                         sqp_iters: int | None = None,
                         interpret: bool | None = None,
                         backend: str = "fused",
-                        repair_frac: float = 1.0 / 85.0):
+                        repair_frac: float = 1.0 / 85.0,
+                        qp_kernel: str = "xla",
+                        alphas=None):
     """Batch-level LBMPC episode on the fused QP backend (f32 throughput path).
 
     Returns (scenario, run(dx_init (B, n)) -> batched ClosedLoopResult). The
@@ -310,8 +312,17 @@ def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
     factory = (make_lbmpc_solver_hybrid if backend == "hybrid"
                else make_lbmpc_solver_fused)
     extra = (dict(repair_frac=repair_frac, repair_sqp_iters=1,
-                  repair_ipm_iters=8, repair_warm="fused")
+                  repair_ipm_iters=8, repair_warm="fused",
+                  repair_backend=("fused" if qp_kernel == "pallas_full"
+                                  else "vmapped"))
              if backend == "hybrid" else {})
+    if qp_kernel != "xla":
+        # round-3 kernels (ops/pallas_gn + ops/pallas_ipm); the bench
+        # headline ladder rides along unless overridden
+        extra.update(qp_kernel=qp_kernel, tile=256,
+                     alphas=alphas or ((1.0,), (1.0, 0.5, 0.25)))
+    elif alphas is not None:
+        extra.update(alphas=alphas)
     solve_batch = factory(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=p.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,

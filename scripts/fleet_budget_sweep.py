@@ -18,12 +18,17 @@ import sys
 REPO = pathlib.Path(__file__).parent.parent
 
 
-def probe(chunk: int) -> dict:
+def probe(chunk: int, instances: int = 131072, steps: int = 10,
+          qp_kernel: str = "pallas_full") -> dict:
+    # the FULL fleet context (round 2's bracket was measured with the whole
+    # 131k-instance fleet's stacked outputs resident, not one lone cohort —
+    # a single-cohort probe of chunk 16384 fits fine)
     cmd = [sys.executable, str(REPO / "examples" / "fleet_100k.py"),
            "--fused", "--backend", "fused", "--chunk", str(chunk),
-           "--instances", str(chunk), "--steps", "3"]
+           "--instances", str(instances), "--steps", str(steps),
+           "--qp-kernel", qp_kernel]
     try:
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=2400,
                            cwd=str(REPO))
     except subprocess.TimeoutExpired:
         return dict(chunk=chunk, ok=False, why="timeout")
@@ -36,8 +41,7 @@ def probe(chunk: int) -> dict:
 
 
 def main():
-    chunks = [int(c) for c in sys.argv[1:]] or [8192, 10240, 12288, 14336,
-                                                16384]
+    chunks = [int(c) for c in sys.argv[1:]] or [8192, 16384, 32768, 65536]
     results = []
     for c in sorted(chunks):
         res = probe(c)
