@@ -88,14 +88,19 @@ def make_lbmpc_solver_fused(
 
         def gn_raw_for(q_win: int):
             # the GN kernel's BlockSpecs need the static window size; build
-            # lazily at trace time (cached per q)
+            # lazily at trace time (cached per q). ensure_compile_time_eval:
+            # the builder creates constant arrays, and a build that happens
+            # under an active trace would cache TRACERS, poisoning every
+            # later trace of the same solver (caught by the sharded re-trace
+            # in dryrun stage 2).
             if q_win not in gn_cache:
                 from lbmpc_tpu.ops.pallas_gn import build_pallas_gn_kernel
 
-                gn_cache[q_win] = build_pallas_gn_kernel(
-                    qp, A, B, Ks, w, delta=delta, bandwidth=bandwidth,
-                    ridge=ridge, dx_ref=dx_ref, q=q_win,
-                    tile=min(tile, 256), interpret=interpret)
+                with jax.ensure_compile_time_eval():
+                    gn_cache[q_win] = build_pallas_gn_kernel(
+                        qp, A, B, Ks, w, delta=delta, bandwidth=bandwidth,
+                        ridge=ridge, dx_ref=dx_ref, q=q_win,
+                        tile=min(tile, 256), interpret=interpret)
             return gn_cache[q_win]
 
     if qp_kernel in ("pallas", "pallas_full"):
@@ -288,14 +293,17 @@ def make_lbmpc_solver_hybrid(
         _rep_cache: dict = {}
 
         def _rep_for(K):
+            # lazily built at trace time -> constants must be concrete
+            # (see gn_raw_for's ensure_compile_time_eval note)
             if K not in _rep_cache:
-                _rep_cache[K] = make_lbmpc_solver_fused(
-                    qp, A, B, Ks, w, family=family, delta=delta,
-                    bandwidth=bandwidth, ridge=ridge, dx_ref=dx_ref,
-                    sqp_iters=repair_sqp_iters or sqp_iters,
-                    ipm_iters=repair_ipm_iters, tile=K, rho=rho,
-                    interpret=interpret, scale=scale, qp_kernel=qp_kernel,
-                    alphas=(1.0, 0.5, 0.25))
+                with jax.ensure_compile_time_eval():
+                    _rep_cache[K] = make_lbmpc_solver_fused(
+                        qp, A, B, Ks, w, family=family, delta=delta,
+                        bandwidth=bandwidth, ridge=ridge, dx_ref=dx_ref,
+                        sqp_iters=repair_sqp_iters or sqp_iters,
+                        ipm_iters=repair_ipm_iters, tile=K, rho=rho,
+                        interpret=interpret, scale=scale, qp_kernel=qp_kernel,
+                        alphas=(1.0, 0.5, 0.25))
             return _rep_cache[K]
 
         def vm_b(dxs, wins, zs):

@@ -270,19 +270,23 @@ def build_pallas_qp_solver_h(
         return x_t, mu_t
 
     def raw_packed(H_pk: jax.Array, g: jax.Array, h: jax.Array):
-        """Like raw(), but H arrives already in the packed per-tile layout
-        ((B//T, nz_p, nz_p*T)) that ops/pallas_gn's kernel emits — the two
-        kernels hand off with zero XLA-side repacking. Requires B % tile == 0
-        (the hot path's batch is)."""
+        """Like raw(), but H arrives already in the packed 2D per-tile
+        layout ((nz_p, tiles*nz_p*T)) that ops/pallas_gn's kernel emits —
+        the two kernels hand off with zero XLA-side repacking. When the
+        batch is not a tile multiple (e.g. the compacted repair's K lanes),
+        g/h are padded to the H_pk lane count; the GN kernel's padded lanes
+        carry the benign PD constant Hessian, and padded h rows never
+        activate."""
         with jax.enable_x64(False):
             B = g.shape[0]
-            assert B % T == 0, f"raw_packed needs batch {B} % tile {T} == 0"
-            g_t = jnp.zeros((nz_p, B), jnp.float32).at[:nz, :].set(
+            Bp = (H_pk.shape[1] // (nz_p * T)) * T
+            assert Bp >= B and Bp % T == 0, (B, Bp, T)
+            g_t = jnp.zeros((nz_p, Bp), jnp.float32).at[:nz, :B].set(
                 g.astype(jnp.float32).T)
-            h_t = jnp.full((mI_p, B), BIG, jnp.float32).at[:mI, :].set(
+            h_t = jnp.full((mI_p, Bp), BIG, jnp.float32).at[:mI, :B].set(
                 h.astype(jnp.float32).T)
-            x_t, mu_t = _call_packed(H_pk, g_t, h_t, B)
-            return x_t[:nz, :].T, mu_t[0, :]
+            x_t, mu_t = _call_packed(H_pk, g_t, h_t, Bp)
+            return x_t[:nz, :B].T, mu_t[0, :B]
 
     raw.raw_packed = raw_packed
     return raw

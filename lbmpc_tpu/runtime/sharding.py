@@ -139,6 +139,7 @@ def estimate_fleet_budget(
     safety: float = 2.5,
     mI: int | None = None,
     fused_kkt_copies: float = 33.0,
+    backend: str = "fused_xla",
 ) -> dict:
     """HBM budget model for fleet episodes (ROADMAP coverage item 6).
 
@@ -146,19 +147,30 @@ def estimate_fleet_budget(
       - fleet outputs: lax.scan stacks every cohort's ClosedLoopResult, so the
         WHOLE fleet's histories live in HBM at once —
         iterations * (n + 2m + 1) numbers per instance (sys/art/conv logs);
-      - cohort working set: per-lane solver live set, dominated by the fused
-        QP's per-lane KKT intermediates — the D-scaled constraint stack
-        (mI x nz) and its XLA temporaries/double-buffers, `fused_kkt_copies`
-        of them — plus the Gauss-Newton Jacobian (ne x nz), (nz x nz) factor
-        buffers, and the oracle window.
+      - cohort working set: per-lane solver live set. For the XLA-composed
+        fused backend (backend="fused_xla") it is dominated by the QP's
+        per-lane KKT intermediates — the D-scaled constraint stack (mI x nz)
+        and its XLA temporaries/double-buffers, `fused_kkt_copies` of them —
+        plus the Gauss-Newton Jacobian (ne x nz), (nz x nz) factor buffers,
+        and the oracle window. For the round-3 all-Pallas backend
+        (backend="pallas_full") the KKT/Jacobian intermediates never leave
+        VMEM; only the kernel I/O staging survives in HBM (packed H, e, g,
+        h rows, window), ~6 buffered copies.
 
-    `safety` covers fragmentation. Calibration (one real v5e chip,
-    2026-08-21, f32, N=20, q=32, mI=214): a 131072-instance fused fleet runs
-    at chunk 8192 and FAILS (TPU backend OOM-class error) at chunk 16384;
-    fused_kkt_copies=33 places the model's max_chunk at exactly the
-    validated 8192 — i.e. per-lane live set ~600 KB, 20x the naive
-    array-count estimate (round 1 used that and over-promised 65536). The
-    earlier f64-history crash point (chunk 16384, round 1) is consistent.
+    `safety` covers fragmentation. Calibration (one real v5e chip, f32,
+    N=20, mI=214):
+      - fused_xla (2026-08-21 r2, q=32): the 131072-instance fleet runs at
+        chunk 8192 and FAILS (TPU OOM-class error) at chunk 16384;
+        fused_kkt_copies=33 places max_chunk exactly at the validated 8192
+        (~600 KB/lane). A LONE cohort of 16384 fits (round-3 re-probe) —
+        the boundary belongs to the full-fleet context, which this model
+        describes.
+      - pallas_full (2026-08-21 r3, q=32): full-context probes at chunk
+        {32768, 65536, 131072} ALL run (scripts/fleet_budget_sweep.py);
+        no OOM point was reachable up to the whole 131k fleet resident in
+        one cohort, consistent with the ~22 KB/lane I/O-staging estimate
+        (model max_chunk 2^18 = 262144 — an extrapolation beyond the
+        largest validated point, flagged in `validated_to`).
 
     Returns dict with per_instance_out, per_lane_work (bytes), fleet_out,
     max_chunk (largest power of two whose cohort fits beside the outputs;
@@ -168,14 +180,21 @@ def estimate_fleet_budget(
     ne = (N - 2) * (n + m) + n + n          # fmincon residual stack
     mI_guess = mI if mI is not None else 30 * N + 640
     per_instance_out = iterations * (n + 2 * m + 1) * history_bytes
-    per_lane_work = work_bytes * (
-        fused_kkt_copies * mI_guess * nz   # D-scaled stack + XLA temporaries
-        + ne * nz                 # J
-        + 4 * nz * nz             # Hb + M + L + equilibrated copy
-        + 2 * mI_guess            # h rows + slack/dual vectors
-        + q * (d_in + d_out + 1)  # oracle window
-        + 4 * ne                  # residual + merit temporaries
-    )
+    if backend == "pallas_full":
+        per_lane_work = work_bytes * (
+            6.0 * (nz * nz + mI_guess + ne)   # packed H + h + e staging
+            + q * (d_in + d_out + 1)          # oracle window
+            + 8 * nz                          # z/g/d vectors
+        )
+    else:
+        per_lane_work = work_bytes * (
+            fused_kkt_copies * mI_guess * nz   # D-scaled stack + XLA temps
+            + ne * nz                 # J
+            + 4 * nz * nz             # Hb + M + L + equilibrated copy
+            + 2 * mI_guess            # h rows + slack/dual vectors
+            + q * (d_in + d_out + 1)  # oracle window
+            + 4 * ne                  # residual + merit temporaries
+        )
     fleet_out = fleet * per_instance_out
     avail = hbm_bytes / safety - fleet_out
     max_chunk = 0
@@ -187,6 +206,9 @@ def estimate_fleet_budget(
         fleet_out=fleet_out,
         max_chunk=max_chunk,
         fits=max_chunk >= 1,
+        # largest chunk empirically validated for this backend's calibration
+        # config; model predictions beyond it are extrapolation
+        validated_to=131072 if backend == "pallas_full" else 8192,
     )
 
 

@@ -1,6 +1,7 @@
 """Runtime-layer tests: sharding, determinism, failure masking, checkpointing."""
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -313,6 +314,64 @@ def test_sharded_fused_hybrid_solve_matches_unsharded():
     assert bool(conv_un.all()) and bool(conv_sh.all())
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="interpret-mode pallas_full compile is minutes")
+def test_sharded_pallas_full_matches_unsharded():
+    """Sharded == unsharded for the PRODUCTION (pallas_full, fused-repair)
+    backend on the 8-device mesh. Slow: interpret-mode XLA compilation of
+    the unrolled kernel graphs; the fast gate on the xla hybrid
+    (test_sharded_fused_hybrid_solve_matches_unsharded) covers the same
+    data movement every CI run. Also regression-guards the lazily-built
+    kernel caches against tracer leaks across re-traces (the sharded call
+    is a second trace of the same solver — caught a real bug)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+    from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
+    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_hybrid
+    from lbmpc_tpu.oracle import init_window
+
+    N, q, B = 12, 16, 16
+    cfg = make_preset("LBMPC_N40")
+    cfg = dataclasses.replace(
+        cfg, ocp=dataclasses.replace(cfg.ocp, N=N),
+        oracle=dataclasses.replace(cfg.oracle, q=q))
+    sc = build_scenario(cfg)
+    qp = build_fmincon_lmpc(
+        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N,
+        dx_ref=np.asarray(cfg.dx_ref), terminal_at=cfg.ocp.terminal_at,
+        tighten_first_step=cfg.ocp.tighten_first_step)
+    w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+                          sc.ocp.LAMBDA, sc.ocp.PSI)
+    hy = make_lbmpc_solver_hybrid(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=12, tile=2,
+        interpret=True, qp_kernel="pallas_full",
+        alphas=((1.0,), (1.0, 0.5)), repair_frac=2.0 / B,
+        repair_sqp_iters=1, repair_ipm_iters=8, repair_warm="fused",
+        repair_backend="fused")
+    rng = np.random.default_rng(0)
+    f32 = jnp.float32
+    dx = jnp.asarray(np.array([-0.35, -0.4, 0, 0])
+                     + 0.01 * rng.standard_normal((B, 4)), f32)
+    win0 = init_window(q, dtype=f32)
+    wins = type(win0)(
+        X=jnp.asarray(0.1 * rng.standard_normal((B, q, 3)), f32),
+        Y=jnp.asarray(0.001 * rng.standard_normal((B, q, 4)), f32),
+        valid=jnp.ones((B, q), f32), count=jnp.full((B,), q, jnp.int32))
+    z0 = jnp.zeros((B, qp.nz), f32)
+    z_un, c_un = hy(dx, wins, z0)
+    mesh = scenario_mesh()
+    shard = NamedSharding(mesh, P("scenario"))
+    args = jax.device_put((dx, wins, z0),
+                          jax.tree.map(lambda _: shard, (dx, wins, z0)))
+    z_sh, c_sh = hy(*args)
+    assert np.abs(np.asarray(z_sh) - np.asarray(z_un)).max() < 2e-2
+    assert bool(np.asarray(c_un).all()) and bool(np.asarray(c_sh).all())
+
+
 def test_batched_fused_episode_matches_f64_episodes():
     """run_closed_loop_batched + fused SQP backend: whole-cohort episode scan
     reproduces the per-scenario f64 episodes (tiny config, interpret kernels).
@@ -387,3 +446,12 @@ def test_fleet_budget_estimator_calibration():
     long_ = estimate_fleet_budget(n=4, m=1, nth=1, N=100, q=32,
                                   iterations=10, fleet=131072)
     assert long_["max_chunk"] < b["max_chunk"]
+    # round-3 all-Pallas backend: full-context probes at chunk {32768,
+    # 65536, 131072} all run (scripts/fleet_budget_sweep.py, 2026-08-21) —
+    # the model must admit every validated point; its prediction beyond the
+    # largest one is flagged as extrapolation via `validated_to`
+    bp = estimate_fleet_budget(n=4, m=1, nth=1, N=20, q=32, iterations=10,
+                               fleet=131072, mI=214, backend="pallas_full")
+    assert bp["fits"] and bp["max_chunk"] >= 131072
+    assert bp["validated_to"] == 131072
+    assert bp["per_lane_work"] < b["per_lane_work"] / 10
