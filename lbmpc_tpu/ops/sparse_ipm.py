@@ -75,7 +75,12 @@ def make_stage_qp(A, B, Q, R, P, T, LAMBDA, PSI, cs, N, delta) -> StageQP:
     )
 
 
-_UNROLL = 8  # scan unrolling: fewer, larger loop bodies (issue-bound sweeps)
+# NO scan unrolling here (sparse_gn uses 8): with this module's broadcast
+# stage weights, unroll>1 makes XLA:TPU's fusion emitter crash compiling the
+# vmapped program ("Check failed: window.pad_low[i] == 0 (-96 vs. 0)",
+# measured 2026-08-21 at N=100 batch 256); the factor/solve split alone
+# carries the speedup.
+_UNROLL = 1
 
 
 def _riccati_factor(A, B, Qx, Ru, PN):
