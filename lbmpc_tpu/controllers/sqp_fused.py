@@ -103,12 +103,22 @@ def make_lbmpc_solver_fused(
                         tile=min(tile, 256), interpret=interpret)
             return gn_cache[q_win]
 
+    # ipm_iters: int, or a per-GN-iteration tuple (like `alphas`) — e.g.
+    # (16, 10) spends the full budget on the cold first QP and less on the
+    # warm second
+    ipm_sched = (tuple(ipm_iters) if isinstance(ipm_iters, (tuple, list))
+                 else (int(ipm_iters),) * sqp_iters)
+    if len(ipm_sched) < sqp_iters:
+        ipm_sched = ipm_sched + (ipm_sched[-1],) * (sqp_iters - len(ipm_sched))
+
     if qp_kernel in ("pallas", "pallas_full"):
         from lbmpc_tpu.ops.pallas_ipm import build_pallas_qp_solver_h
 
-        pallas_raw = build_pallas_qp_solver_h(
-            qp.G, iters=ipm_iters, tile=min(tile, 256), d_cap=d_cap,
-            interpret=interpret)
+        pallas_raws = {
+            it: build_pallas_qp_solver_h(
+                qp.G, iters=it, tile=min(tile, 256), d_cap=d_cap,
+                interpret=interpret)
+            for it in set(ipm_sched)}
 
         class _Sub:
             __slots__ = ("x", "mu")
@@ -119,15 +129,19 @@ def make_lbmpc_solver_fused(
 
         class _Fused:
             @staticmethod
-            def raw_with_H(Hb, gb, hb):
-                x, mu = pallas_raw(Hb, gb, hb)
+            def raw_with_H(Hb, gb, hb, iters=ipm_sched[0]):
+                x, mu = pallas_raws[iters](Hb, gb, hb)
                 return _Sub(x, mu)
 
         fused = _Fused()
+        pallas_raw = pallas_raws[ipm_sched[0]]
     else:
-        fused = build_fused_qp_solver(None, qp.G, iters=ipm_iters, tile=tile,
+        fused_by_iters = {
+            it: build_fused_qp_solver(None, qp.G, iters=it, tile=tile,
                                       interpret=interpret, scale=scale,
                                       d_cap=d_cap)
+            for it in set(ipm_sched)}
+        fused = fused_by_iters[ipm_sched[0]]
     residual_single, res_jac_single = make_residual_and_jac(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
         ridge=ridge, dx_ref=dx_ref, dtype=f32)
@@ -179,13 +193,19 @@ def make_lbmpc_solver_fused(
             if qp_kernel == "pallas_full":
                 e, H_pk, gb = gn_raw_for(windows.X.shape[-2])(
                     z, dx0, windows)
-                d, mu_last = pallas_raw.raw_packed(H_pk, gb, h - z @ Gd.T)
+                d, mu_last = pallas_raws[ipm_sched[it]].raw_packed(
+                    H_pk, gb, h - z @ Gd.T)
             else:
                 e, J = resjac_b(z, dx0, windows)           # (B, ne), (B, ne, nz)
                 Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
                 Hb = Hb + 1e-6 * jnp.eye(Hb.shape[-1], dtype=f32)[None]
                 gb = 2.0 * jnp.einsum("bei,be->bi", J, e, precision=jax.lax.Precision.HIGHEST)
-                sub = fused.raw_with_H(Hb, gb, h - z @ Gd.T)
+                if qp_kernel == "pallas":
+                    sub = fused.raw_with_H(Hb, gb, h - z @ Gd.T,
+                                           iters=ipm_sched[it])
+                else:
+                    sub = fused_by_iters[ipm_sched[it]].raw_with_H(
+                        Hb, gb, h - z @ Gd.T)
                 d = sub.x
                 mu_last = sub.mu
             # merit at the current iterate reuses the residual the Jacobian

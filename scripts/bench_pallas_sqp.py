@@ -145,6 +145,18 @@ def main():
             qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full", tile=256,
             alphas=al, repair_frac=24.0 / batch, repair_sqp_iters=1,
             repair_ipm_iters=8, repair_warm="fused", **kw))
+    elif mode == "ipm":
+        # per-GN IPM budgets: the warm second QP may need fewer iterations
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        base = dict(kw, qp_kernel="pallas_full", tile=256, alphas=al)
+        base.pop("ipm_iters")
+        for sched in ((16, 16), (16, 12), (16, 10), (16, 8), (12, 10)):
+            bench(f"pfull_i{sched[0]}_{sched[1]}", make_lbmpc_solver_fused(
+                qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=sched, **base))
+        bench("hyb_pfull_i16_10", make_lbmpc_solver_hybrid(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=(16, 10),
+            repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
+            repair_warm="fused", repair_backend="fused", **base))
     elif mode == "repair":
         al = ((1.0,), (1.0, 0.5, 0.25))
         for rk, rs, ri in ((24, 1, 8), (24, 2, 16), (128, 2, 16)):
