@@ -72,11 +72,17 @@ def main():
     #   - same s2i16 iteration budget as round 2 (accuracy class unchanged:
     #     tests/test_pallas_gn.py, test_pallas_ipm.py pin equality to the
     #     XLA path at f32 roundoff).
+    #   - per-GN IPM schedule (16, 8): the warm second QP converges BETTER
+    #     at 8 iterations (16 drives f32 lanes into the mu-stall regime) —
+    #     measured conv 1.0 fused-only at the SAME c0 error distribution vs
+    #     the vmapped reference as the full budget (p50 8.1e-3 / p99 1.0e-2
+    #     / max 1.1e-2, scripts/accuracy_audit.py).
     LADDER = ((1.0,), (1.0, 0.5, 0.25))
+    IPM_SCHED = (16, 8)
     fused_fast_solve = make_lbmpc_solver_fused(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
-        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=IPM_SCHED,
         qp_kernel="pallas_full", tile=256, alphas=LADDER,
     )
     # conv-1.0 headline: + gather-compacted repair of the flagged mu-stall
@@ -88,7 +94,7 @@ def main():
     hybrid_solve = make_lbmpc_solver_hybrid(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
-        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=IPM_SCHED,
         qp_kernel="pallas_full", tile=256, alphas=LADDER,
         repair_frac=24.0 / 2048.0, repair_sqp_iters=1, repair_ipm_iters=8,
         repair_warm="fused", repair_backend="fused",
@@ -209,11 +215,13 @@ def main():
 
     ne = (N - 2) * 5 + 4 + 4
     shape_kw = dict(N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz)
-    # n_merit=2: per-GN average of the asymmetric ((1,), (1,.5,.25)) ladder
-    # (m0 reuses the Jacobian pass's residual, costing no extra rollout)
-    phases = fused_sqp_flops_per_solve(sqp_iters=2, ipm_iters=16, n_merit=2,
+    # n_merit=2 / ipm_iters=12: per-GN averages of the asymmetric ladder
+    # ((1,), (1,.5,.25)) and IPM schedule (16, 8) — the model's totals are
+    # linear in both, so the averages give the exact sums (m0 reuses the
+    # Jacobian pass's residual, costing no extra rollout)
+    phases = fused_sqp_flops_per_solve(sqp_iters=2, ipm_iters=12, n_merit=2,
                                        **shape_kw)
-    split = fused_sqp_op_split(sqp_iters=2, ipm_iters=16, n_merit=2,
+    split = fused_sqp_op_split(sqp_iters=2, ipm_iters=12, n_merit=2,
                                **shape_kw)
     # the K=24 fused 1-GN/8-IPM repair touches 24/2048 of lanes: ~1% extra
     rfrac = 24.0 / 2048.0
