@@ -81,27 +81,32 @@ def make_lbmpc_solver_fused(
     h0d = jnp.asarray(qp.h0, f32)
     Hpd = jnp.asarray(qp.Hp, f32)
     gn_cache: dict = {}
-    if qp_kernel == "pallas_full":
+    if qp_kernel in ("pallas_full", "pallas_mono"):
         if family != "fmincon" or qp.m != 1:
-            raise ValueError("qp_kernel='pallas_full' covers the fmincon "
+            raise ValueError(f"qp_kernel={qp_kernel!r} covers the fmincon "
                              "m=1 configuration")
 
-        def gn_raw_for(q_win: int):
+        def gn_raw_for(q_win: int, iters: int | None = None):
             # the GN kernel's BlockSpecs need the static window size; build
-            # lazily at trace time (cached per q). ensure_compile_time_eval:
-            # the builder creates constant arrays, and a build that happens
-            # under an active trace would cache TRACERS, poisoning every
-            # later trace of the same solver (caught by the sharded re-trace
-            # in dryrun stage 2).
-            if q_win not in gn_cache:
+            # lazily at trace time (cached per (q, iters)).
+            # ensure_compile_time_eval: the builder creates constant arrays,
+            # and a build that happens under an active trace would cache
+            # TRACERS, poisoning every later trace of the same solver
+            # (caught by the sharded re-trace in dryrun stage 2).
+            # iters != None = the mono kernel (GN + in-kernel Mehrotra loop,
+            # one launch per GN iteration).
+            key = (q_win, iters)
+            if key not in gn_cache:
                 from lbmpc_tpu.ops.pallas_gn import build_pallas_gn_kernel
 
                 with jax.ensure_compile_time_eval():
-                    gn_cache[q_win] = build_pallas_gn_kernel(
+                    gn_cache[key] = build_pallas_gn_kernel(
                         qp, A, B, Ks, w, delta=delta, bandwidth=bandwidth,
                         ridge=ridge, dx_ref=dx_ref, q=q_win,
-                        tile=min(tile, 256), interpret=interpret)
-            return gn_cache[q_win]
+                        tile=min(tile, 256), interpret=interpret,
+                        ipm=(None if iters is None
+                             else dict(iters=iters, d_cap=d_cap)))
+            return gn_cache[key]
 
     # ipm_iters: int, or a per-GN-iteration tuple (like `alphas`) — e.g.
     # (16, 10) spends the full budget on the cold first QP and less on the
@@ -134,7 +139,6 @@ def make_lbmpc_solver_fused(
                 return _Sub(x, mu)
 
         fused = _Fused()
-        pallas_raw = pallas_raws[ipm_sched[0]]
     else:
         fused_by_iters = {
             it: build_fused_qp_solver(None, qp.G, iters=it, tile=tile,
@@ -190,7 +194,13 @@ def make_lbmpc_solver_fused(
         for it in range(sqp_iters):
             sched = tuple(alphas[min(it, len(alphas) - 1)]) if per_gn \
                 else tuple(alphas)
-            if qp_kernel == "pallas_full":
+            if qp_kernel == "pallas_mono":
+                # ONE launch per GN iteration: GN phase + Mehrotra loop
+                # fused (g rides along for the ladder's dirderiv)
+                e, d, mu_last, gb = gn_raw_for(windows.X.shape[-2],
+                                               ipm_sched[it])(
+                    z, dx0, windows)
+            elif qp_kernel == "pallas_full":
                 e, H_pk, gb = gn_raw_for(windows.X.shape[-2])(
                     z, dx0, windows)
                 d, mu_last = pallas_raws[ipm_sched[it]].raw_packed(

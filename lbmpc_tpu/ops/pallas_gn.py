@@ -50,13 +50,21 @@ def build_pallas_gn_kernel(
     tile: int = 256,
     interpret: bool = False,
     debug_stage: int = 3,
+    ipm: dict | None = None,
 ):
-    """Returns raw(z (B, nz), dx0 (B, n), windows) -> (e (B, ne), H (tiles,
-    nz_p, nz_p*T) packed, g (B, nz), m0cost (B,)) with H/g the exact GN
-    normal terms of controllers/sqp_fused (H includes the 1e-6 ridge).
+    """Returns raw(z (B, nz), dx0 (B, n), windows) -> (e (B, ne), H (nz_p,
+    tiles*nz_p*T) packed, g (B, nz)) with H/g the exact GN normal terms of
+    controllers/sqp_fused (H includes the 1e-6 ridge). The packed H is
+    consumed directly by ops/pallas_ipm.build_pallas_qp_solver_h's
+    `raw_packed` entry.
 
-    The packed H is consumed directly by
-    ops/pallas_ipm.build_pallas_qp_solver_h's `raw_packed` entry.
+    ipm={'iters': k, 'd_cap': 1e6, 'tau': 0.995} fuses the ENTIRE Mehrotra
+    predictor-corrector loop (the body of ops/pallas_ipm, identical
+    semantics) into the same launch — one kernel per GN iteration, H/g
+    never leave VMEM, and the constraint rhs h = h0 + Hp dx0 - G z is
+    computed in-kernel. raw then returns (e (B, ne), d (B, nz) QP step,
+    mu (B,)). Measured motivation (scripts/phase_budget2.py): ~0.38 ms of
+    fixed staging/launch cost per separate QP call at batch 2048.
     """
     N, n, m = qp.N, qp.n, qp.m
     assert m == 1, "pallas GN kernel covers the m=1 flagship configuration"
@@ -113,11 +121,168 @@ def build_pallas_gn_kernel(
     CONST[:, 8:8 + nz_p] = Hconst_p
     CONST_j = jnp.asarray(CONST)
 
+    if ipm is not None:
+        mI = qp.G.shape[0]
+        mI_p = _round_up(mI, 128)
+        Gp = np.zeros((mI_p, nz_p), np.float32)
+        Gp[:mI, :nz] = np.asarray(qp.G, np.float32)
+        GT_j = jnp.asarray(Gp.T.copy())
+        Gp_j = jnp.asarray(Gp)
+        # second const operand: col 0 = h0 (padded rows BIG so they never
+        # activate), cols 1..n = Hp columns
+        C2 = np.zeros((mI_p, 128), np.float32)
+        C2[:, 0] = 1e6
+        C2[:mI, 0] = np.asarray(qp.h0, np.float32)
+        C2[:mI, 1:1 + n] = np.asarray(qp.Hp, np.float32)
+        C2_j = jnp.asarray(C2)
+        ipm_iters = int(ipm["iters"])
+        ipm_dcap = float(ipm.get("d_cap", 1e6))
+        ipm_tau = float(ipm.get("tau", 0.995))
+
     def kernel(z_ref, dx_ref_, Xw_ref, Yw_ref, val_ref, C_ref, e_out, H_out,
                g_out):
         with jax.enable_x64(False):
             _body(z_ref, dx_ref_, Xw_ref, Yw_ref, val_ref, C_ref, e_out,
                   H_out, g_out)
+
+    def kernel_ipm(z_ref, dx_ref_, Xw_ref, Yw_ref, val_ref, C_ref, GT_ref,
+                   G_ref, C2_ref, e_out, d_out_, mu_out, g_out, x_s, s_s,
+                   z_s):
+        with jax.enable_x64(False):
+            Hfull, g_acc = _body(z_ref, dx_ref_, Xw_ref, Yw_ref, val_ref,
+                                 C_ref, e_out, None, None)
+            g_out[:] = g_acc          # the ladder's dirderiv needs g
+            _ipm_body(z_ref, dx_ref_, GT_ref, G_ref, C2_ref, Hfull, g_acc,
+                      d_out_, mu_out, x_s, s_s, z_s)
+
+    def _ipm_body(z_ref, dx_ref_, GT_ref, G_ref, C2_ref, Hfull, g,
+                  d_out_, mu_out, x_s, s_s, z_s):
+        """The Mehrotra loop of ops/pallas_ipm._kernel_body, verbatim
+        semantics, with Hcols as in-register values and h computed in-kernel
+        (h = h0 + Hp dx0 - G z_bar: the QP is posed in step space around the
+        SQP iterate)."""
+        GTm = GT_ref[:]
+        Gm = G_ref[:]
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (mI_p, 1), 0)
+        act = jnp.where(rows_m < jnp.int32(mI), 1.0, 0.0).astype(jnp.float32)
+
+        h = C2_ref[:, 0:1] + jnp.zeros((mI_p, T), jnp.float32)
+        for j in range(n):
+            h = h + C2_ref[:, 1 + j:2 + j] * dx_ref_[j:j + 1, :]
+        zbar = z_ref[:]
+        h = h - mxu(Gm, zbar)                     # G @ z_bar
+
+        x_s[:] = jnp.zeros((nz_p, T), jnp.float32)
+        s_s[:] = jnp.maximum(h, 1.0)
+        z_s[:] = jnp.broadcast_to(act, (mI_p, T))
+
+        def Hx(x):
+            acc = Hfull[0] * x[0:1, :]
+            for j in range(1, nz_p):
+                acc = acc + Hfull[j] * x[j:j + 1, :]
+            return acc
+
+        def chol_cols(Mcols):
+            rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
+            Ls = []
+            for j in range(nz_p):
+                acc = Mcols[j]
+                for k in range(j):
+                    acc = acc - Ls[k][j:j + 1, :] * Ls[k]
+                djj = jnp.sqrt(jnp.maximum(acc[j:j + 1, :], 1e-30))
+                Ls.append(jnp.where(rows_n >= j, acc / djj, 0.0))
+            return Ls
+
+        def tri_lower(Ls, b):
+            rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
+            y = jnp.zeros_like(b)
+            for j in range(nz_p):
+                yj = b[j:j + 1, :] / Ls[j][j:j + 1, :]
+                y = y + jnp.where(rows_n == j, yj, 0.0)
+                b = b - jnp.where(rows_n > j, Ls[j] * yj, 0.0)
+            return y
+
+        def tri_upper_t(Ls, y):
+            rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
+            xs = [None] * nz_p
+            for idx in range(nz_p):
+                j = nz_p - 1 - idx
+                acc = y[j:j + 1, :]
+                for k in range(j + 1, nz_p):
+                    acc = acc - Ls[j][k:k + 1, :] * xs[k]
+                xs[j] = acc / Ls[j][j:j + 1, :]
+            x = jnp.zeros_like(y)
+            for j in range(nz_p):
+                x = x + jnp.where(rows_n == j, xs[j], 0.0)
+            return x
+
+        def body(it, _):
+            rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
+            x = x_s[:]
+            s = s_s[:]
+            z = z_s[:]
+            rd = Hx(x) + g + mxu(GTm, z)
+            Gx = mxu(Gm, x)
+            rp = (Gx + s - h) * act
+            s_safe = jnp.maximum(s, 1e-25)
+            d = jnp.minimum(z / s_safe, ipm_dcap) * act
+            Mcols = []
+            for j in range(nz_p):
+                Mj = mxu(GTm, d * Gm[:, j:j + 1]) + Hfull[j]
+                # the same per-column ridge the standalone QP kernel adds:
+                # WITHOUT it the padded columns' diagonal is exactly 0 and
+                # the triangular solve hits 0/0 (L[j,j] = 0/1e-15)
+                Mj = Mj + jnp.where(rows_n == j, 1e-6, 0.0)
+                Mcols.append(Mj)
+            dg = jnp.zeros((nz_p, T), jnp.float32)
+            for j in range(nz_p):
+                dg = dg + jnp.where(rows_n == j, Mcols[j][j:j + 1, :], 0.0)
+            sc = jax.lax.rsqrt(jnp.maximum(dg, 1e-30))
+            Ls = chol_cols([Mcols[j] * sc * sc[j:j + 1, :]
+                            for j in range(nz_p)])
+
+            def kkt(rc):
+                t = (d * rp - rc / s_safe) * act
+                rhs = -(rd + mxu(GTm, t))
+                dx = tri_upper_t(Ls, tri_lower(Ls, rhs * sc)) * sc
+                Gdx = mxu(Gm, dx)
+                dz = (d * (rp + Gdx) - rc / s_safe) * act
+                ds = (-rp - Gdx) * act
+                return dx, ds, dz
+
+            def steplen(v, dv, t_):
+                ratio = jnp.where(dv < 0.0,
+                                  -v / jnp.where(dv < 0.0, dv, -1.0), 1e6)
+                return jnp.minimum(
+                    1.0, t_ * jnp.min(ratio, axis=0, keepdims=True))
+
+            mu = jnp.sum(s * z * act, axis=0, keepdims=True) / float(mI)
+            rc_aff = s * z * act
+            dxa, dsa, dza = kkt(rc_aff)
+            ap = steplen(s, dsa, 1.0)
+            ad = steplen(z, dza, 1.0)
+            mu_aff = jnp.sum((s + ap * dsa) * (z + ad * dza) * act,
+                             axis=0, keepdims=True) / float(mI)
+            sigma = (mu_aff / jnp.maximum(mu, 1e-25)) ** 3
+            rc = (s * z + dsa * dza - sigma * mu) * act
+            dx, ds, dz = kkt(rc)
+            ap = steplen(s, ds, ipm_tau)
+            ad = steplen(z, dz, ipm_tau)
+            x_s[:] = x + ap * dx
+            s_s[:] = s + ap * ds
+            z_s[:] = z + ad * dz
+            return 0
+
+        jax.lax.fori_loop(0, ipm_iters, body, 0)
+        d_out_[:] = x_s[:]
+        mu_out[:] = jnp.sum(s_s[:] * z_s[:] * act, axis=0,
+                            keepdims=True) / float(mI)
+
+    def mxu(a, b, transpose=False):
+        dn = (((0,), (0,)), ((), ())) if transpose else (((1,), (0,)), ((), ()))
+        return jax.lax.dot_general(
+            a, b, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     def _body(z_ref, dx_ref_, Xw_ref, Yw_ref, val_ref, C_ref, e_out, H_out,
               g_out):
@@ -230,6 +395,13 @@ def build_pallas_gn_kernel(
         for r in range(ne_p):
             e_out[r:r + 1, :] = (e_rows[r] if e_rows[r] is not None
                                  else jnp.zeros((1, T), jnp.float32))
+        if H_out is None:
+            # fused-IPM mode: hand the full (ridge-included) H columns and g
+            # back as in-register values for the in-kernel Mehrotra loop
+            Hfull = ([Hcols[j] + Hccols[j] for j in range(nz)]
+                     + [jnp.broadcast_to(Hccols[j], (nz_p, T)) + lane0
+                        for j in range(nz, nz_p)])
+            return Hfull, g_acc
         g_out[:] = g_acc
         # packed-H output is 2D (nz_p, tiles*nz_p*T): Mosaic crashed
         # preparing 3D outputs with non-unit grid-mapped leading dim
@@ -238,6 +410,7 @@ def build_pallas_gn_kernel(
         for j in range(nz, nz_p):
             H_out[:, j * T:(j + 1) * T] = jnp.broadcast_to(
                 Hccols[j], (nz_p, T))
+        return None
 
     def raw(z, dx0, windows):
         with jax.enable_x64(False):
@@ -269,30 +442,52 @@ def build_pallas_gn_kernel(
             for d in range(d_out):
                 Yw_t = Yw_t.at[d * q_p:d * q_p + q, :].set(Yw[:, :, d].T)
             vw_t = jnp.zeros((q_p, Bp), f32).at[:q, :].set(vw.T)
+            lane_spec = lambda rows: pl.BlockSpec(
+                (rows, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+            base_specs = [
+                lane_spec(nz_p), lane_spec(8), lane_spec(d_in * q_p),
+                lane_spec(d_out * q_p), lane_spec(q_p),
+                pl.BlockSpec((nz_p, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            if ipm is not None:
+                e_t, d_t, mu_t, g_t = pl.pallas_call(
+                    kernel_ipm,
+                    grid=(Bp // T,),
+                    in_specs=base_specs + [
+                        pl.BlockSpec((nz_p, mI_p), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((mI_p, nz_p), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((mI_p, 128), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=[lane_spec(ne_p), lane_spec(nz_p),
+                               lane_spec(1), lane_spec(nz_p)],
+                    out_shape=[
+                        jax.ShapeDtypeStruct((ne_p, Bp), f32),
+                        jax.ShapeDtypeStruct((nz_p, Bp), f32),
+                        jax.ShapeDtypeStruct((1, Bp), f32),
+                        jax.ShapeDtypeStruct((nz_p, Bp), f32),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((nz_p, T), f32),
+                        pltpu.VMEM((mI_p, T), f32),
+                        pltpu.VMEM((mI_p, T), f32),
+                    ],
+                    interpret=interpret,
+                )(z_t, dx_t, Xw_t, Yw_t, vw_t, CONST_j, GT_j, Gp_j, C2_j)
+                return (e_t[:ne, :B0].T, d_t[:nz, :B0].T, mu_t[0, :B0],
+                        g_t[:nz, :B0].T)
             e_t, H_pk, g_t = pl.pallas_call(
                 kernel,
                 grid=(Bp // T,),
-                in_specs=[
-                    pl.BlockSpec((nz_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((8, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((d_in * q_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((d_out * q_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((q_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nz_p, 128), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
+                in_specs=base_specs,
                 out_specs=[
-                    pl.BlockSpec((ne_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
+                    lane_spec(ne_p),
                     pl.BlockSpec((nz_p, nz_p * T), lambda i: (0, i),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nz_p, T), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
+                    lane_spec(nz_p),
                 ],
                 out_shape=[
                     jax.ShapeDtypeStruct((ne_p, Bp), f32),

@@ -145,6 +145,23 @@ def main():
             qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full", tile=256,
             alphas=al, repair_frac=24.0 / batch, repair_sqp_iters=1,
             repair_ipm_iters=8, repair_warm="fused", **kw))
+    elif mode == "mono":
+        # one launch per GN iteration: GN + Mehrotra fused
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        base = dict(kw, tile=256, alphas=al)
+        base.pop("ipm_iters")
+        bench("pfull_i16_8", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full",
+            ipm_iters=(16, 8), **base))
+        base128 = dict(base, tile=128)
+        bench("mono_i16_8_t128", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_mono",
+            ipm_iters=(16, 8), **base128))
+        bench("hyb_mono_i16_8_t128", make_lbmpc_solver_hybrid(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_mono",
+            ipm_iters=(16, 8), repair_frac=24.0 / batch, repair_sqp_iters=1,
+            repair_ipm_iters=8, repair_warm="fused", repair_backend="fused",
+            **base128))
     elif mode == "ipm":
         # per-GN IPM budgets: the warm second QP may need fewer iterations
         al = ((1.0,), (1.0, 0.5, 0.25))

@@ -111,3 +111,34 @@ def test_fused_sqp_pallas_full_matches_xla():
     assert np.median(d) < 1e-6
     assert d.max() < 5e-3
     assert bool(np.asarray(cx).all()) and bool(np.asarray(cp).all())
+
+
+def test_fused_sqp_pallas_mono_matches_pallas_full():
+    """qp_kernel='pallas_mono' (GN + Mehrotra fused into ONE launch per GN
+    iteration) reproduces pallas_full. Measured on-chip note: at its
+    VMEM-feasible tile (128; tile 256 exceeds the 16M scoped limit by 3.3M)
+    the mono kernel is SLOWER than the two-launch pallas_full at tile 256
+    (3.74 vs 3.26 ms/step at batch 2048) — the smaller tile's per-op
+    overhead outweighs the ~0.38 ms/call staging savings, so pallas_full
+    stays the production backend and mono is kept as a correct,
+    latency-profile alternative."""
+    N, q, B = 12, 18, 16
+    cfg, sc, qp, w = _setup(N, q)
+    kw = dict(family="fmincon", delta=cfg.plant.ts,
+              bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+              dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2,
+              ipm_iters=(16, 8), tile=B, interpret=True,
+              alphas=((1.0,), (1.0, 0.5, 0.25)))
+    sf = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                 qp_kernel="pallas_full", **kw)
+    sm = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                 qp_kernel="pallas_mono", **kw)
+    rng = np.random.default_rng(0)
+    _, dx, wins = _inputs(qp, q, B, rng)
+    z0 = jnp.zeros((B, qp.nz), jnp.float32)
+    zf, cf = sf(dx, wins, z0)
+    zm, cm = sm(dx, wins, z0)
+    d = np.abs(np.asarray(zf) - np.asarray(zm))
+    assert np.median(d) < 1e-6
+    assert d.max() < 5e-3
+    assert bool(np.asarray(cf).all()) and bool(np.asarray(cm).all())
