@@ -99,11 +99,14 @@ def make_lbmpc_solver_fused(
             if key not in gn_cache:
                 from lbmpc_tpu.ops.pallas_gn import build_pallas_gn_kernel
 
+                # measured scoped-VMEM ceilings (16M limit): the GN kernel
+                # OOMs at tile 512 (~18M), the mono kernel at 256 (19.3M)
+                t_cap = min(tile, 256 if iters is None else 128)
                 with jax.ensure_compile_time_eval():
                     gn_cache[key] = build_pallas_gn_kernel(
                         qp, A, B, Ks, w, delta=delta, bandwidth=bandwidth,
                         ridge=ridge, dx_ref=dx_ref, q=q_win,
-                        tile=min(tile, 256), interpret=interpret,
+                        tile=t_cap, interpret=interpret,
                         ipm=(None if iters is None
                              else dict(iters=iters, d_cap=d_cap)))
             return gn_cache[key]

@@ -145,6 +145,14 @@ def main():
             qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full", tile=256,
             alphas=al, repair_frac=24.0 / batch, repair_sqp_iters=1,
             repair_ipm_iters=8, repair_warm="fused", **kw))
+    elif mode == "tile":
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        base = dict(kw, alphas=al)
+        base.pop("ipm_iters")
+        for t in (256, 512):
+            bench(f"pfull_i16_8_t{t}", make_lbmpc_solver_fused(
+                qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full",
+                ipm_iters=(16, 8), tile=t, **base))
     elif mode == "mono":
         # one launch per GN iteration: GN + Mehrotra fused
         al = ((1.0,), (1.0, 0.5, 0.25))
