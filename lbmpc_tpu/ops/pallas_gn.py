@@ -23,8 +23,6 @@ exactly — equality tested in tests/test_pallas_gn.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
