@@ -223,7 +223,7 @@ class SparseGNSolution(NamedTuple):
 
 def solve_sparse_gn(qp: StageGNQP, Als, Bls, q_xl, r_c, g_th,
                     hx_t, hu_t, hd_t, hw_t,
-                    iters: int = 25, tau: float = 0.995):
+                    iters: int = 25, tau: float = 0.995, mesh=None):
     """Solve one GN subproblem in step variables d = (dC stages, dtheta).
 
     Inputs from the SQP wrapper (all in delta/step space around z_bar):
@@ -234,16 +234,22 @@ def solve_sparse_gn(qp: StageGNQP, Als, Bls, q_xl, r_c, g_th,
       hx_t (N, mx), hu_t (N, mu), hd_t (md,), hw_t (mw,): per-group rhs
         h - F(rollout at z_bar) — the slack the current iterate leaves.
 
+    mesh: a jax.sharding Mesh with a 'stage' axis — the Riccati sweeps then
+    run STAGE-SHARDED over the mesh (ops/riccati_sharded, "SP"): theta
+    columns + predictor share one distributed multi-RHS sweep, the corrector
+    a second. Equality vs mesh=None is pinned at N=300 in
+    tests/test_sparse_gn.py (VERDICT r3 item 4).
+
     HIGHEST matmul precision for the same reason as ops/ipm.py:72-77."""
     with jax.default_matmul_precision("highest"):
         return _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th,
                                 hx_t, hu_t, hd_t, hw_t, qp.N, qp.kT,
-                                iters, tau)
+                                iters, tau, mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("N", "kT", "iters"))
+@functools.partial(jax.jit, static_argnames=("N", "kT", "iters", "mesh"))
 def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
-                     N, kT, iters, tau):
+                     N, kT, iters, tau, mesh=None):
     n = qp.A.shape[0]
     m = qp.B.shape[1]
     nth = qp.LAM.shape[1]
@@ -345,11 +351,28 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
         # ONE quadratic backward sweep per iteration; the nth + 2 right-hand
         # sides (theta columns, predictor, corrector) reuse its factor
         # through the cheap linear sweeps (round-3 restructure — the
-        # quadratic sweep was ~3x the sequential matmul depth)
-        factor = _riccati_factor(As, Bs, Qs, Ss, Rs, PN)
+        # quadratic sweep was ~3x the sequential matmul depth).
+        # mesh != None ("SP"): the sweeps instead run stage-sharded over the
+        # mesh as distributed multi-RHS element scans (ops/riccati_sharded).
+        factor = (None if mesh is not None
+                  else _riccati_factor(As, Bs, Qs, Ss, Rs, PN))
+
+        def rsolve_multi(rhs_list):
+            """[(qw, rc, pN), ...] -> [(W, C), ...]."""
+            if mesh is None:
+                return [_riccati_solve(factor, As, Bs, qw, rc, pN)
+                        for (qw, rc, pN) in rhs_list]
+            from lbmpc_tpu.ops.riccati_sharded import lqr_cross_sharded
+
+            qs = jnp.stack([r[0][:N] for r in rhs_list], axis=-1)
+            rcs = jnp.stack([r[1] for r in rhs_list], axis=-1)
+            pNs = jnp.stack([r[2] for r in rhs_list], axis=-1)
+            W, C = lqr_cross_sharded(mesh, As, Bs, Qs, Ss, Rs, qs, rcs,
+                                     PN, pNs)
+            return [(W[..., k], C[..., k]) for k in range(len(rhs_list))]
 
         # ---- theta coupling columns (shared by predictor + corrector) ----
-        def theta_col(i):
+        def theta_rhs(i):
             e = jnp.zeros((nth,), dtype).at[i].set(1.0)
             qw = jnp.zeros((N, nw), dtype)
             qw = qw.at[:, :n].add(cost_m[:, None] * (CwL @ e)[None, :])
@@ -361,9 +384,9 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
             # CcL applies at cost stages only (the tail stages of the
             # fmincon family carry no running cost)
             rc = cost_m[:, None] * (CcL @ e)[None, :]
-            return _riccati_solve(factor, As, Bs, qw, rc, pN)
+            return qw, rc, pN
 
-        cols = [theta_col(i) for i in range(nth)]
+        cols = rsolve_multi([theta_rhs(i) for i in range(nth)])
 
         def coupling_step(Ws, Cs):
             """theta-row of the AUGMENTED system (cost + barrier couplings)
@@ -411,7 +434,7 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
             gWN = gWN.at[n:].add(tw)
         rth = Hth_cost @ th + g_th + coupling_cost(W, C) + qp.Fw_th.T @ zw
 
-        def newton(rcx, rcu, rcd, rcw):
+        def newton_rhs(rcx, rcu, rcd, rcw):
             elim_x = (Dx * (gx + sx) - rcx / sx_s) * msk_x[:, None]
             elim_u = (Du * (gu + su) - rcu / su_s) * msk_u[:, None]
             elim_d = Dd * (gd + sd) - rcd / sd_s
@@ -434,7 +457,9 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
             else:
                 pN_r = pN_r.at[n:].add(awx)
             rc_r = gC + au_c
-            W0, C0 = _riccati_solve(factor, As, Bs, qw, rc_r, pN_r)
+            return (qw, rc_r, pN_r), awth
+
+        def newton_finish(W0, C0, awth, rcx, rcu, rcd, rcw):
             rhs_th = -(rth + awth) - coupling_step(W0, C0)
             dth = jnp.linalg.solve(Smat, rhs_th)
             dW = W0 + sum(dth[i] * cols[i][0] for i in range(nth))
@@ -464,6 +489,11 @@ def _solve_sparse_gn(qp, Als, Bls, q_xl, r_c, g_th, hx_t, hu_t, hd_t, hw_t,
                 r = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
                 a = jnp.minimum(a, t_ * jnp.min(r))
             return a
+
+        def newton(rcx, rcu, rcd, rcw):
+            rhs, awth = newton_rhs(rcx, rcu, rcd, rcw)
+            (W0, C0), = rsolve_multi([rhs])
+            return newton_finish(W0, C0, awth, rcx, rcu, rcd, rcw)
 
         # predictor
         pred = newton(sx * zx, su * zu, sd * zd, sw * zw)
