@@ -96,6 +96,33 @@ def push(window: DataWindow, x_new: jax.Array, y_new: jax.Array) -> DataWindow:
     return DataWindow(X, Y, valid, window.count + 1)
 
 
+def push_batched(window: DataWindow, x_new: jax.Array,
+                 y_new: jax.Array) -> DataWindow:
+    """Batched push with a lockstep fast path (r4 fleet phase budget:
+    vmap(push)'s per-lane dynamic_update_slice lowers to a SCATTER over the
+    cohort — measured 40.9 ms of the 52.3 ms fleet step at chunk 8192, 78%
+    of the whole closed-loop cost). Fleet cohorts advance in lockstep, so
+    every lane's ring index is equal and ONE shared-index slab write
+    replaces the scatter; a lax.cond falls back to the scatter when counts
+    diverge (e.g. hand-built heterogeneous windows), keeping semantics
+    exactly those of vmap(push)."""
+    c0 = window.count[0]
+    uniform = jnp.all(window.count == c0)
+    q = window.X.shape[1]
+
+    def lock(w):
+        idx = c0 % q
+        z = jnp.zeros((), idx.dtype)
+        X = jax.lax.dynamic_update_slice(w.X, x_new[:, None, :], (z, idx, z))
+        Y = jax.lax.dynamic_update_slice(w.Y, y_new[:, None, :], (z, idx, z))
+        valid = jax.lax.dynamic_update_slice(
+            w.valid, jnp.ones_like(w.valid[:, :1]), (z, idx))
+        return DataWindow(X, Y, valid, w.count + 1)
+
+    return jax.lax.cond(uniform, lock,
+                        lambda w: jax.vmap(push)(w, x_new, y_new), window)
+
+
 def nw_estimate(
     xi: jax.Array,
     window: DataWindow,

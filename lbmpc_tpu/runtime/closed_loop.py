@@ -22,7 +22,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from lbmpc_tpu.oracle import DataWindow, observe_residual, push
+from lbmpc_tpu.oracle import DataWindow, observe_residual, push, push_batched
 
 
 class ClosedLoopResult(NamedTuple):
@@ -119,7 +119,9 @@ def run_closed_loop_batched(
 
     plant_b = jax.vmap(plant_step)
     obs_b = jax.vmap(lambda dx, du, dx1: observe_residual(dx, du, dx1, A, B))
-    push_b = jax.vmap(push)
+    # lockstep-aware push: cohorts advance together, so the per-lane scatter
+    # collapses to one shared-index write (78% of the fleet step — oracle.py)
+    push_b = push_batched
     warm_b = jax.vmap(warm_start_fn)
 
     x0_abs = x_wp[None, :] + dx_init

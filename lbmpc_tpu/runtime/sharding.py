@@ -165,12 +165,13 @@ def estimate_fleet_budget(
         (~600 KB/lane). A LONE cohort of 16384 fits (round-3 re-probe) —
         the boundary belongs to the full-fleet context, which this model
         describes.
-      - pallas_full (2026-08-21 r3, q=32): full-context probes at chunk
-        {32768, 65536, 131072} ALL run (scripts/fleet_budget_sweep.py);
-        no OOM point was reachable up to the whole 131k fleet resident in
-        one cohort, consistent with the ~22 KB/lane I/O-staging estimate
-        (model max_chunk 2^18 = 262144 — an extrapolation beyond the
-        largest validated point, flagged in `validated_to`).
+      - pallas_full (r3 sweep + r4 ceiling probes, q=32): chunks {32768,
+        65536, 131072, 262144, 524288, 1048576} ALL run — including the
+        WHOLE fleet as one cohort at every size up to 2^20 — and 2097152
+        fails with RESOURCE_EXHAUSTED (the first real OOM point for this
+        backend). The 1.3 staging-copy factor places max_chunk exactly at
+        the validated 2^20 and refuses 2^21 (measured per-lane footprint
+        ~5.6 KB at this shape, not the r3 ~22 KB estimate).
 
     Returns dict with per_instance_out, per_lane_work (bytes), fleet_out,
     max_chunk (largest power of two whose cohort fits beside the outputs;
@@ -181,8 +182,12 @@ def estimate_fleet_budget(
     mI_guess = mI if mI is not None else 30 * N + 640
     per_instance_out = iterations * (n + 2 * m + 1) * history_bytes
     if backend == "pallas_full":
+        # staging-copy factor 1.3: calibrated on the r4 measured bracket
+        # {1048576 instances in ONE cohort OK, 2097152 RESOURCE_EXHAUSTED}
+        # (fleet probes 2026-08-21, N=20/q=32/steps=10) — the model's
+        # max_chunk lands exactly on the validated 2^20 and refuses 2^21
         per_lane_work = work_bytes * (
-            6.0 * (nz * nz + mI_guess + ne)   # packed H + h + e staging
+            1.3 * (nz * nz + mI_guess + ne)   # packed H + h + e staging
             + q * (d_in + d_out + 1)          # oracle window
             + 8 * nz                          # z/g/d vectors
         )
@@ -207,8 +212,10 @@ def estimate_fleet_budget(
         max_chunk=max_chunk,
         fits=max_chunk >= 1,
         # largest chunk empirically validated for this backend's calibration
-        # config; model predictions beyond it are extrapolation
-        validated_to=131072 if backend == "pallas_full" else 8192,
+        # config; model predictions beyond it are extrapolation. pallas_full:
+        # r4 bracket {2^20 OK (one cohort, 691,852 closed-loop solves/s),
+        # 2^21 RESOURCE_EXHAUSTED} — a real OOM boundary, not a non-failure
+        validated_to=1048576 if backend == "pallas_full" else 8192,
     )
 
 

@@ -7,6 +7,15 @@ OOM or worker crash cannot kill the sweep. The measured bracket calibrates
 (fused_kkt_copies) and the calibration test asserts the model reproduces the
 boundary.
 
+Round-4 ceiling probes (pallas_full backend, N=20/q=32/steps=10, one v5e):
+  instances=chunk 262144 -> 724,796 closed-loop solves/s, OK
+  instances=chunk 524288 -> 707,712 solves/s, OK
+  instances=chunk 1048576 -> 691,852 solves/s, OK   (2^20 in ONE cohort)
+  instances=chunk 2097152 -> RESOURCE_EXHAUSTED     (the real OOM point)
+Model recalibrated to this bracket (sharding.py: staging factor 1.3,
+validated_to=1048576); conv on these fused-only probes is 0.94 (the hybrid
+repair restores 1.0 — the probes measure MEMORY, not the conv gate).
+
 Usage: python scripts/fleet_budget_sweep.py [chunk ...]
 """
 

@@ -165,3 +165,36 @@ def test_nw_estimate_and_jac_matches_jacfwd():
         yi, Ji = nw_estimate_and_jac(xis[i], win)
         np.testing.assert_allclose(np.asarray(yb[i]), np.asarray(yi), atol=1e-13)
         np.testing.assert_allclose(np.asarray(Jb[i]), np.asarray(Ji), atol=1e-13)
+
+
+def test_push_batched_lockstep_equals_vmapped():
+    """push_batched (r4 fleet fix: the per-lane scatter cost 78% of the
+    fleet closed-loop step; lockstep cohorts take one shared-index write)
+    == vmap(push) bit-for-bit through >2 ring wraps, and falls back to the
+    scatter path exactly when counts diverge."""
+    import jax
+
+    from lbmpc_tpu.oracle import init_window, push, push_batched
+
+    rng = np.random.default_rng(0)
+    B, q = 16, 7
+    win0 = init_window(q)
+    wins = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), win0)
+    wins_v = wins
+    for step in range(2 * q + 3):
+        xi = jnp.asarray(rng.standard_normal((B, 3)))
+        y = jnp.asarray(rng.standard_normal((B, 4)))
+        wins = push_batched(wins, xi, y)
+        wins_v = jax.vmap(push)(wins_v, xi, y)
+        for f in ("X", "Y", "valid", "count"):
+            assert np.array_equal(np.asarray(getattr(wins, f)),
+                                  np.asarray(getattr(wins_v, f))), (step, f)
+    cnt = jnp.arange(B, dtype=jnp.int32) % q
+    wins_nu = type(win0)(X=wins.X, Y=wins.Y, valid=wins.valid, count=cnt)
+    xi = jnp.asarray(rng.standard_normal((B, 3)))
+    y = jnp.asarray(rng.standard_normal((B, 4)))
+    out = push_batched(wins_nu, xi, y)
+    ref = jax.vmap(push)(wins_nu, xi, y)
+    for f in ("X", "Y", "valid", "count"):
+        assert np.array_equal(np.asarray(getattr(out, f)),
+                              np.asarray(getattr(ref, f))), f

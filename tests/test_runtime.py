@@ -446,12 +446,18 @@ def test_fleet_budget_estimator_calibration():
     long_ = estimate_fleet_budget(n=4, m=1, nth=1, N=100, q=32,
                                   iterations=10, fleet=131072)
     assert long_["max_chunk"] < b["max_chunk"]
-    # round-3 all-Pallas backend: full-context probes at chunk {32768,
-    # 65536, 131072} all run (scripts/fleet_budget_sweep.py, 2026-08-21) —
-    # the model must admit every validated point; its prediction beyond the
-    # largest one is flagged as extrapolation via `validated_to`
+    # all-Pallas backend, r4 MEASURED bracket (fleet ceiling probes,
+    # 2026-08-21): every chunk up to the whole fleet as ONE cohort runs at
+    # 2^20 = 1048576 instances; 2^21 fails RESOURCE_EXHAUSTED. The model
+    # must admit exactly the validated boundary.
     bp = estimate_fleet_budget(n=4, m=1, nth=1, N=20, q=32, iterations=10,
                                fleet=131072, mI=214, backend="pallas_full")
     assert bp["fits"] and bp["max_chunk"] >= 131072
-    assert bp["validated_to"] == 131072
+    assert bp["validated_to"] == 1048576
     assert bp["per_lane_work"] < b["per_lane_work"] / 10
+    b1m = estimate_fleet_budget(n=4, m=1, nth=1, N=20, q=32, iterations=10,
+                                fleet=1 << 20, mI=214, backend="pallas_full")
+    assert b1m["max_chunk"] == 1 << 20          # whole fleet in one cohort
+    b2m = estimate_fleet_budget(n=4, m=1, nth=1, N=20, q=32, iterations=10,
+                                fleet=1 << 21, mI=214, backend="pallas_full")
+    assert b2m["max_chunk"] < 1 << 21           # the measured OOM point
