@@ -75,16 +75,16 @@ def make_lbmpc_solver_fused(
     ops/pallas_gn's kernel (phase budget: they cost 3.5 ms/step in XLA,
     nearly all op-issue overhead), handing the packed H straight to the QP
     kernel — two launches per GN iteration, no XLA-side J/H materialization
-    (fmincon family, m=1)."""
+    (m=1; fmincon and casadi/DMS families)."""
     f32 = jnp.float32
     Gd = jnp.asarray(qp.G, f32)
     h0d = jnp.asarray(qp.h0, f32)
     Hpd = jnp.asarray(qp.Hp, f32)
     gn_cache: dict = {}
     if qp_kernel in ("pallas_full", "pallas_mono"):
-        if family != "fmincon" or qp.m != 1:
-            raise ValueError(f"qp_kernel={qp_kernel!r} covers the fmincon "
-                             "m=1 configuration")
+        if family not in ("fmincon", "casadi") or qp.m != 1:
+            raise ValueError(f"qp_kernel={qp_kernel!r} covers the m=1 "
+                             "fmincon/casadi configurations")
 
         def gn_raw_for(q_win: int, iters: int | None = None):
             # the GN kernel's BlockSpecs need the static window size; build
@@ -106,7 +106,7 @@ def make_lbmpc_solver_fused(
                     gn_cache[key] = build_pallas_gn_kernel(
                         qp, A, B, Ks, w, delta=delta, bandwidth=bandwidth,
                         ridge=ridge, dx_ref=dx_ref, q=q_win,
-                        tile=t_cap, interpret=interpret,
+                        tile=t_cap, interpret=interpret, family=family,
                         ipm=(None if iters is None
                              else dict(iters=iters, d_cap=d_cap)))
             return gn_cache[key]
@@ -120,12 +120,18 @@ def make_lbmpc_solver_fused(
         ipm_sched = ipm_sched + (ipm_sched[-1],) * (sqp_iters - len(ipm_sched))
 
     if qp_kernel in ("pallas", "pallas_full"):
+        import os
+
         from lbmpc_tpu.ops.pallas_ipm import build_pallas_qp_solver_h
 
+        # LBMPC_MCOLS_BF16=1: KKT-assembly matmuls in bf16 with f32
+        # accumulation (1 MXU pass vs f32-HIGHEST's 6) — A/B knob, gated on
+        # the accuracy audit before any promotion
         pallas_raws = {
             it: build_pallas_qp_solver_h(
                 qp.G, iters=it, tile=min(tile, 256), d_cap=d_cap,
-                interpret=interpret)
+                interpret=interpret,
+                mcols_bf16=os.environ.get("LBMPC_MCOLS_BF16") == "1")
             for it in set(ipm_sched)}
 
         class _Sub:

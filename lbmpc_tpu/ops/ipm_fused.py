@@ -26,7 +26,100 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lbmpc_tpu.ops.pallas_chol import chol_factor_solve, chol_resolve
+from lbmpc_tpu.ops.pallas_chol import (chol_factor_solve, chol_resolve,
+                                       chol_solve, factor_store_feasible)
+
+
+def _build_structured_assembly(G: np.ndarray, n_b: int | None = None):
+    """Returns assemble(d (B, mI)) -> M (B, nz, nz) computing G' diag(d) G
+    while skipping G's structural zeros (r4 perf: the dense d @ W matmul was
+    the DMS flagship's dominant cost — mI x nz^2 MACs/lane/iteration).
+
+    Host-side row classification (exact zeros from the condensed builders,
+    controllers/condensed.py):
+      - rows whose support is 1 column (casadi-family input boxes): their
+        contribution is diagonal — one (B, m1) @ (m1, nz) matmul;
+      - rows sharing a 2-column support (the 616-row terminal block + the
+        tightened first-step rows touch only {c_0, theta}): three dots per
+        support pair;
+      - remaining rows bucketed by max nonzero column (state rows are CAUSAL:
+        x_k depends on c_0..c_{k-1} only): per-bucket dense d_c @ W_c with
+        W_c truncated to the bucket's column bound.
+    Measured effect (v5e): DMS N=100 assembly FLOPs x0.33, fmincon N=20
+    x0.11 vs the dense W. Same math as d @ W (summation order differs only).
+    """
+    if n_b is None:
+        import os
+        n_b = int(os.environ.get("LBMPC_ASM_BUCKETS", "4"))
+    mI, nz = G.shape
+    supports = [np.nonzero(G[i])[0] for i in range(mI)]
+    singles: list[int] = []
+    pair_groups: dict[tuple, list[int]] = {}
+    rest: list[int] = []
+    for i, s in enumerate(supports):
+        if len(s) == 1:
+            singles.append(i)
+        elif len(s) == 2:
+            pair_groups.setdefault((int(s[0]), int(s[1])), []).append(i)
+        else:
+            rest.append(i)
+    # bucket remaining rows by max nonzero column (`n_b` buckets, the last
+    # always full-width). All contributions combine as one fused elementwise
+    # sum of padded/broadcast terms — NO .at[].add slice updates (measured
+    # r4: each of those read-modify-writes the whole (B, nz, nz) tensor,
+    # which cost more than the matmul FLOPs they saved).
+    n_b = max(1, n_b)
+    step = -(-nz // n_b)
+    bounds = [min((c + 1) * step, nz) for c in range(n_b)]
+    buckets: list[list[int]] = [[] for _ in range(n_b)]
+    for i in rest:
+        hi = int(supports[i][-1]) + 1 if len(supports[i]) else 1
+        for c, b in enumerate(bounds):
+            if hi <= b:
+                buckets[c].append(i)
+                break
+
+    sing_rows = np.asarray(singles, np.int32)
+    Gsq = jnp.asarray(G[sing_rows] ** 2) if singles else None  # (m1, nz)
+    eye_b = jnp.asarray(np.eye(nz, dtype=np.float32))
+    pair_data = []
+    for (a, b), rows in pair_groups.items():
+        r = np.asarray(rows, np.int32)
+        coefs = np.stack([G[r, a] * G[r, a], G[r, a] * G[r, b],
+                          G[r, b] * G[r, b]], axis=1)       # (mp, 3)
+        Eaa = np.zeros((nz, nz), np.float32); Eaa[a, a] = 1.0
+        Eab = np.zeros((nz, nz), np.float32); Eab[a, b] = 1.0; Eab[b, a] = 1.0
+        Ebb = np.zeros((nz, nz), np.float32); Ebb[b, b] = 1.0
+        pair_data.append((jnp.asarray(r), jnp.asarray(coefs),
+                          jnp.asarray(np.stack([Eaa, Eab, Ebb]))))
+    bucket_data = []
+    for c, rows in enumerate(buckets):
+        if not rows:
+            continue
+        r = np.asarray(rows, np.int32)
+        bb = bounds[c]
+        Wc = (G[r][:, :bb, None] * G[r][:, None, :bb]).reshape(len(rows), bb * bb)
+        bucket_data.append((bb, jnp.asarray(r), jnp.asarray(Wc)))
+
+    def assemble(d: jax.Array) -> jax.Array:
+        B = d.shape[0]
+        parts = []
+        for bb, r, Wc in bucket_data:
+            Mc = (d[:, r] @ Wc).reshape(B, bb, bb)
+            parts.append(Mc if bb == nz else
+                         jnp.pad(Mc, ((0, 0), (0, nz - bb), (0, nz - bb))))
+        if Gsq is not None:
+            diag = d[:, sing_rows] @ Gsq                     # (B, nz)
+            parts.append(diag[:, :, None] * eye_b[None])
+        for r, coefs, Es in pair_data:
+            dots = d[:, r] @ coefs                           # (B, 3)
+            parts.append(jnp.einsum("bk,kij->bij", dots, Es))
+        M = parts[0]
+        for p in parts[1:]:
+            M = M + p
+        return M
+
+    return assemble
 
 
 class FusedBatchSolution(NamedTuple):
@@ -70,14 +163,20 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
     stay inside f32's ~2e7 after equilibration, and the EXACT solution of the
     harder-capped system is itself a poor direction (which is why f64
     iterative refinement measured net-neutral at 1e7)."""
+    import os
+
     nz = G.shape[1]
     mI = G.shape[0]
+    store_L = factor_store_feasible(nz)
+    # Measured negative (r4, v5e, DMS nz=101 batch 1024): LBMPC_CHOL="xla"
+    # (jnp.linalg.cholesky + triangular_solve) runs 546 ms/step vs the
+    # Pallas no-store path's 54 ms — XLA:TPU's batched Cholesky is
+    # loop-lowered and ~10x slower even where the unrolled per-lane kernel
+    # is issue-bound. Pallas stays the default at every nz.
+    chol_backend = os.environ.get("LBMPC_CHOL", "pallas")
     H32 = jnp.asarray(H, jnp.float32) if H is not None else None
     G32 = jnp.asarray(G, jnp.float32)
-    W = jnp.asarray(
-        (np.asarray(G, np.float32)[:, :, None] * np.asarray(G, np.float32)[:, None, :])
-        .reshape(mI, nz * nz)
-    )
+    assemble = _build_structured_assembly(np.asarray(G, np.float32))
     # Farkas purification operator: y -> y - y G (G'G)^-1 G' projects onto
     # null(G') (where every infeasibility certificate lives); precomputed in
     # f64 host-side
@@ -164,8 +263,10 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
             rp = x @ G32.T + s - h
             s_safe = jnp.maximum(s, 1e-25)
             d = jnp.minimum(z / s_safe, d_cap)
-            M_flat = d @ W + Hflat_b + 1e-6 * eye_flat[None, :]
-            M = M_flat.reshape(B, nz, nz)
+            # structured G' diag(d) G (skips G's structural zeros) replaces
+            # the dense d @ W matmul — same math, ~3-9x fewer MACs
+            M = (assemble(d) + Hflat_b.reshape(-1, nz, nz)
+                 + 1e-6 * jnp.eye(nz, dtype=jnp.float32)[None])
             if scale:
                 sc = jax.lax.rsqrt(
                     jnp.maximum(jnp.diagonal(M, axis1=1, axis2=2), 1e-30))
@@ -181,8 +282,31 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
                 return -(rd + t @ G32)
 
             rc_aff = s * z
-            L_flat, u_a = chol_factor_solve(Mk, rhs_of(rc_aff) * sc, tile=tile,
-                                            interpret=interpret)
+            if chol_backend == "xla":
+                # XLA batched Cholesky + triangular solves: at large nz
+                # (DMS nz=101) the per-lane unrolled Pallas factorization is
+                # issue-bound (~11k sequential ops per tile) while XLA's
+                # blocked batched kernels ride the MXU; measured crossover
+                # recorded in the build_fused_qp_solver docstring
+                Lx = jnp.linalg.cholesky(Mk)
+
+                def xsolve(r):
+                    y = jax.lax.linalg.triangular_solve(
+                        Lx, r, left_side=True, lower=True)
+                    return jax.lax.linalg.triangular_solve(
+                        Lx, y, left_side=True, lower=True, transpose_a=True)
+
+                L_flat = None
+                u_a = xsolve(rhs_of(rc_aff) * sc)
+            elif store_L:
+                L_flat, u_a = chol_factor_solve(Mk, rhs_of(rc_aff) * sc,
+                                                tile=tile, interpret=interpret)
+            else:
+                # large-nz path (DMS flagship nz_p=104): storing L busts
+                # scoped VMEM at every legal tile — refactor per solve
+                L_flat = None
+                u_a = chol_solve(Mk, rhs_of(rc_aff) * sc, tile=tile,
+                                 interpret=interpret)
             dx_a = u_a * sc
 
             def expand(dx, rc):
@@ -203,9 +327,15 @@ def build_fused_qp_solver(H: np.ndarray | None, G: np.ndarray, iters: int = 20,
             sigma = (mu_aff / jnp.maximum(mu, 1e-25)) ** 3
             rc = s * z + ds_a * dz_a - (sigma * mu)[:, None]
             rhs_c = rhs_of(rc)
-            dx = chol_resolve(L_flat, rhs_c * sc, nz, tile=tile,
-                              interpret=interpret) * sc
-            if refine and jax.config.jax_enable_x64:
+            if chol_backend == "xla":
+                dx = xsolve(rhs_c * sc) * sc
+            elif store_L:
+                dx = chol_resolve(L_flat, rhs_c * sc, nz, tile=tile,
+                                  interpret=interpret) * sc
+            else:
+                dx = chol_solve(Mk, rhs_c * sc, tile=tile,
+                                interpret=interpret) * sc
+            if refine and store_L and jax.config.jax_enable_x64:
                 # Safeguarded iterative refinement on the corrector solve.
                 # Residual in f64 (f32 residuals are pure roundoff here), and
                 # the correction is applied PER LANE only where it provably

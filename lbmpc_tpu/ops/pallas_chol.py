@@ -29,6 +29,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _tile_cap(n_p: int, tile: int, blocks: int) -> int:
+    """Largest power-of-two tile <= `tile` whose (n_p^2, T) VMEM blocks fit.
+
+    `blocks` counts the (n2, T) f32 blocks resident per grid step (factor
+    kernel: M in + L out = 2; resolve: L in = 1); Mosaic double-buffers each,
+    and the 16M scoped-VMEM limit is hard (measured: nz_p=104 at tile 512
+    OOMs 42.7M — the DMS flagship shape, r4). Halving preserves
+    divisibility of the caller-padded batch."""
+    budget = 14 * 1024 * 1024
+    t = tile
+    # Pallas TPU requires lane blocks divisible by 128 -> floor at 128
+    while t > 128 and blocks * 2 * (n_p * n_p * t * 4) > budget:
+        t //= 2
+    return t
+
+
+def factor_store_feasible(n: int, tile: int = 512) -> bool:
+    """True when the factor-storing kernel (chol_factor_solve + chol_resolve)
+    fits scoped VMEM at some lane tile >= 128. At nz_p >= ~76 the M-in +
+    L-out blocks exceed 16M even at tile 128 (measured OOM at the DMS
+    nz_p=104 shape) — callers then use chol_solve twice (refactor for the
+    corrector) instead of storing L."""
+    n_p = _round_up(n, 8)
+    return 2 * 2 * (n_p * n_p * 128 * 4) <= 14 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def chol_factor_solve(M: jax.Array, b: jax.Array, tile: int = 512,
                       interpret: bool = False):
@@ -48,7 +74,8 @@ def chol_factor_solve(M: jax.Array, b: jax.Array, tile: int = 512,
         # flat pack: row (j*n_p + i) = M[i, j]  -> transpose to (n_p, n_p, B)
         M_t = jnp.transpose(Mp, (2, 1, 0)).reshape(n_p * n_p, B)
         b_t = bp.T
-        L_t, x_t = _factor_solve_call(M_t, b_t, n_p, tile, interpret)
+        L_t, x_t = _factor_solve_call(M_t, b_t, n_p,
+                                      _tile_cap(n_p, tile, 2), interpret)
         return L_t.T, x_t[:n, :].T
 
 
@@ -56,22 +83,49 @@ def chol_factor_solve(M: jax.Array, b: jax.Array, tile: int = 512,
 def _factor_solve_call(M_t, b_t, n_p, tile, interpret):
     B = M_t.shape[1]
     n2 = n_p * n_p
+    import os
+    blocked = n_p >= 32 and os.environ.get("LBMPC_CHOL_BLOCKED") == "1"
+
+    def kernel_blocked(M_ref, b_ref, T8_ref, B8_ref, L_out, x_out):
+        # copy M into the L output block, then factor in place there (no
+        # HBM aliasing: it does not merge VMEM buffers — see _solve_call)
+        for _s in range(n_p // _BLOCK):
+            _sl = slice(_s * _BLOCK * n_p, (_s + 1) * _BLOCK * n_p)
+            L_out[_sl, :] = M_ref[_sl, :]
+        _chol_blocked_inplace(L_out, n_p, T8_ref, B8_ref)
+        col = lambda j: L_out[j * n_p:(j + 1) * n_p, :]
+        y = _tri_lower(col, b_ref[:], n_p)
+        x_out[:] = _tri_upper_red(col, y, n_p)
 
     def kernel(M_ref, b_ref, L_out, x_out):
         Ls = _chol_cols(M_ref, n_p)
-        y = _tri_lower(Ls, b_ref[:], n_p)
-        x = _tri_upper_t(Ls, y, n_p)
+        y = _tri_lower(Ls.__getitem__, b_ref[:], n_p)
+        x = (_tri_upper_red(Ls.__getitem__, y, n_p) if n_p >= 32
+             else _tri_upper_t(Ls, y, n_p))
         for j in range(n_p):
             L_out[j * n_p : (j + 1) * n_p, :] = Ls[j]
         x_out[:] = x
 
+    in_specs = [
+        pl.BlockSpec((n2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    operands = [M_t, b_t]
+    if blocked:
+        T8, B8 = _blocked_consts(n_p)
+        in_specs += [
+            pl.BlockSpec((_BLOCK * n_p, n_p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK * n_p, _BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [T8, B8]
     return pl.pallas_call(
-        kernel,
+        kernel_blocked if blocked else kernel,
         grid=(B // tile,),
-        in_specs=[
-            pl.BlockSpec((n2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=24 << 20)
+                         if blocked else None),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((n2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -81,7 +135,103 @@ def _factor_solve_call(M_t, b_t, n_p, tile, interpret):
             jax.ShapeDtypeStruct((n_p, B), jnp.float32),
         ],
         interpret=interpret,
-    )(M_t, b_t)
+    )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def chol_solve(M: jax.Array, b: jax.Array, tile: int = 512,
+               interpret: bool = False):
+    """Factor SPD M (B, n, n) and solve M x = b (B, n) WITHOUT storing L.
+
+    The large-nz path (factor_store_feasible(n) False — e.g. the DMS
+    flagship's nz_p=104, where the L-out block alone busts scoped VMEM):
+    callers refactor for each right-hand side instead of resolving. Returns
+    x (B, n)."""
+    B, n, _ = M.shape
+    n_p = _round_up(n, 8)
+    with jax.enable_x64(False):
+        Mp = jnp.zeros((B, n_p, n_p), jnp.float32)
+        Mp = Mp.at[:, :n, :n].set(M.astype(jnp.float32))
+        idx = jnp.arange(n, n_p)
+        Mp = Mp.at[:, idx, idx].set(1.0)
+        bp = jnp.zeros((B, n_p), jnp.float32).at[:, :n].set(b.astype(jnp.float32))
+        M_t = jnp.transpose(Mp, (2, 1, 0)).reshape(n_p * n_p, B)
+        x_t = _solve_call(M_t, bp.T, n_p, _tile_cap(n_p, tile, 1), interpret)
+        return x_t[:n, :].T
+
+
+@functools.partial(jax.jit, static_argnames=("n_p", "tile", "interpret"))
+def _solve_call(M_t, b_t, n_p, tile, interpret):
+    B = M_t.shape[1]
+    n2 = n_p * n_p
+    # Measured NEGATIVE (r4, v5e, DMS nz_p=104 b1024): the slab-blocked
+    # factorization (_chol_blocked_inplace) is 5x SLOWER than the unrolled
+    # per-column path (287 vs 54 ms/step) — its TILE8/BC8 "broadcast via
+    # MXU" ops are dense (832,104)@(104,T) matmuls, ~0.9 TFLOP/step of pure
+    # replication work at f32-HIGHEST. Kept behind LBMPC_CHOL_BLOCKED=1 for
+    # reproduction; the op-count win that survives is _tri_upper_red.
+    import os
+    blocked = n_p >= 32 and os.environ.get("LBMPC_CHOL_BLOCKED") == "1"
+
+    def kernel_blocked(M_ref, b_ref, T8_ref, B8_ref, x_out, L_sc):
+        # factor into a VMEM SCRATCH (single-buffered, 5.5M at n_p=104 —
+        # vs +11M for an aliased (n2, T) output: HBM aliasing does NOT
+        # merge the VMEM block buffers, measured 26.6M scoped). Slab-chunked
+        # copy keeps the transient small; all reads after the copy go
+        # through the scratch ref, so at most ~one column is live.
+        for _s in range(n_p // _BLOCK):
+            _sl = slice(_s * _BLOCK * n_p, (_s + 1) * _BLOCK * n_p)
+            L_sc[_sl, :] = M_ref[_sl, :]
+        _chol_blocked_inplace(L_sc, n_p, T8_ref, B8_ref)
+        col = lambda j: L_sc[j * n_p:(j + 1) * n_p, :]
+        y = _tri_lower(col, b_ref[:], n_p)
+        x_out[:] = _tri_upper_red(col, y, n_p)
+
+    def kernel(M_ref, b_ref, x_out):
+        Ls = _chol_cols(M_ref, n_p)
+        y = _tri_lower(Ls.__getitem__, b_ref[:], n_p)
+        x_out[:] = (_tri_upper_red(Ls.__getitem__, y, n_p) if n_p >= 32
+                    else _tri_upper_t(Ls, y, n_p))
+
+    if not blocked:
+        return pl.pallas_call(
+            kernel,
+            grid=(B // tile,),
+            in_specs=[
+                pl.BlockSpec((n2, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_p, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_p, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_p, B), jnp.float32),
+            interpret=interpret,
+        )(M_t, b_t)
+    T8, B8 = _blocked_consts(n_p)
+    return pl.pallas_call(
+        kernel_blocked,
+        grid=(B // tile,),
+        # input block dbl-buffered (11.1M at n_p=104/tile 128) + the single
+        # L scratch (5.5M) + consts: grant headroom over the 16M default
+        # (v5e VMEM is 128M physical)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 << 20),
+        in_specs=[
+            pl.BlockSpec((n2, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_p, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK * n_p, n_p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK * n_p, _BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_p, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_p, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n2, tile), jnp.float32)],
+        interpret=interpret,
+    )(M_t, b_t, T8, B8)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tile", "interpret"))
@@ -95,7 +245,8 @@ def chol_resolve(L_flat: jax.Array, b: jax.Array, n: int, tile: int = 512,
     n_p = int(np.sqrt(L_flat.shape[1]))
     with jax.enable_x64(False):
         bp = jnp.zeros((B, n_p), jnp.float32).at[:, :n].set(b.astype(jnp.float32))
-        x_t = _resolve_call(L_flat.T.astype(jnp.float32), bp.T, n_p, tile, interpret)
+        x_t = _resolve_call(L_flat.T.astype(jnp.float32), bp.T, n_p,
+                            _tile_cap(n_p, tile, 1), interpret)
         return x_t[:n, :].T
 
 
@@ -105,9 +256,10 @@ def _resolve_call(L_t, b_t, n_p, tile, interpret):
     n2 = n_p * n_p
 
     def kernel(L_ref, b_ref, x_out):
-        Ls = [L_ref[j * n_p : (j + 1) * n_p, :] for j in range(n_p)]
-        y = _tri_lower(Ls, b_ref[:], n_p)
-        x_out[:] = _tri_upper_t(Ls, y, n_p)
+        col = lambda j: L_ref[j * n_p : (j + 1) * n_p, :]
+        y = _tri_lower(col, b_ref[:], n_p)
+        x_out[:] = (_tri_upper_red(col, y, n_p) if n_p >= 32
+                    else _tri_upper_t([col(j) for j in range(n_p)], y, n_p))
 
     return pl.pallas_call(
         kernel,
@@ -124,6 +276,78 @@ def _resolve_call(L_t, b_t, n_p, tile, interpret):
 
 # ---- shared in-kernel recurrences (lists of (n_p, T) column blocks) ----
 
+_BLOCK = 8  # slab width for the blocked factorization
+
+
+def _blocked_consts(n_p: int):
+    """Constants for the slab-blocked factorization (r4, VERDICT item 2a):
+    TILE8 (8*n_p, n_p) replicates a column value 8x vertically via one MXU
+    matmul; BC8 (8*n_p, 8) broadcasts 8 per-lane scalars into 8 n_p-row
+    blocks. Together one trailing-slab rank-1 update covers 8 target
+    columns in 2 ops instead of 8 — the op-count cut that matters in the
+    issue-bound regime (measured: the unrolled per-column chol at nz_p=104
+    was the DMS flagship's dominant per-iteration cost)."""
+    TILE8 = np.tile(np.eye(n_p, dtype=np.float32), (_BLOCK, 1))
+    BC8 = np.zeros((_BLOCK * n_p, _BLOCK), np.float32)
+    for j in range(_BLOCK):
+        BC8[j * n_p:(j + 1) * n_p, j] = 1.0
+    return jnp.asarray(TILE8), jnp.asarray(BC8)
+
+
+def _mxu(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _chol_blocked_inplace(M_rw, n_p, TILE8_ref, BC8_ref):
+    """Left-looking blocked Cholesky IN PLACE on the flat (n_p*n_p, T)
+    layout: slabs of 8 columns; within-slab columns factor sequentially,
+    trailing slabs update with 2 ops per (pivot, slab) pair, all through
+    the read-write ref (holding the matrix as live values doubles the
+    scoped-VMEM footprint — measured OOM at n_p=104/tile 128). Same math
+    as _chol_cols (summation order identical within each column)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
+    TILE8 = TILE8_ref[:]
+    BC8 = BC8_ref[:]
+    nsl = n_p // _BLOCK
+    for s in range(nsl):
+        Lsl = []
+        for jj in range(_BLOCK):
+            j = s * _BLOCK + jj
+            acc = M_rw[j * n_p:(j + 1) * n_p, :]
+            for kk in range(jj):
+                acc = acc - Lsl[kk][j:j + 1, :] * Lsl[kk]
+            djj = jnp.sqrt(jnp.maximum(acc[j:j + 1, :], 1e-30))
+            Lj = jnp.where(rows >= j, acc / djj, 0.0)
+            Lsl.append(Lj)
+            M_rw[j * n_p:(j + 1) * n_p, :] = Lj
+        for kk in range(_BLOCK):
+            if s + 1 < nsl:
+                tiled = _mxu(TILE8, Lsl[kk])               # (8 n_p, T)
+            for s2 in range(s + 1, nsl):
+                coef = Lsl[kk][s2 * _BLOCK:(s2 + 1) * _BLOCK, :]
+                sl = slice(s2 * _BLOCK * n_p, (s2 + 1) * _BLOCK * n_p)
+                M_rw[sl, :] = M_rw[sl, :] - tiled * _mxu(BC8, coef)
+
+
+def _tri_upper_red(col, y, n_p):
+    """Solve L^T x = y by per-column sublane REDUCTIONS: x_j = (y_j -
+    sum_k L[k, j] x_k) / L[j, j], where the sum is one masked dot of
+    column j with the partially-built x vector (rows < j of Ls[j] are
+    zero, and unset x rows are zero, so a full-column reduce is exact).
+    ~4 ops per column instead of the O(n_p) inner loop."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
+    x = jnp.zeros_like(y)
+    for idx in range(n_p):
+        j = n_p - 1 - idx
+        Lj = col(j)
+        dotj = jnp.sum(Lj * x, axis=0, keepdims=True)
+        xj = (y[j:j + 1, :] - dotj) / Lj[j:j + 1, :]
+        x = x + jnp.where(rows == j, xj, 0.0)
+    return x
+
 
 def _chol_cols(M_ref, n_p):
     rows = jax.lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
@@ -137,13 +361,16 @@ def _chol_cols(M_ref, n_p):
     return Ls
 
 
-def _tri_lower(Ls, b, n_p):
+def _tri_lower(col, b, n_p):
+    """col: j -> L column j (a value, or a lazy ref load — the blocked
+    kernels pass a ref-backed getter so at most one column is live)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (n_p, 1), 0)
     y = jnp.zeros_like(b)
     for j in range(n_p):
-        yj = b[j : j + 1, :] / Ls[j][j : j + 1, :]
+        Lj = col(j)
+        yj = b[j : j + 1, :] / Lj[j : j + 1, :]
         y = y + jnp.where(rows == j, yj, 0.0)
-        b = b - jnp.where(rows > j, Ls[j] * yj, 0.0)
+        b = b - jnp.where(rows > j, Lj * yj, 0.0)
     return y
 
 

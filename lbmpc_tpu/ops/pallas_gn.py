@@ -16,9 +16,17 @@ resident in VMEM with the batch in lanes:
     directly in the packed (nz_p, nz_p*T) layout ops/pallas_ipm's QP kernel
     streams — the two kernels hand off without any XLA-side transposes.
 
-fmincon family, m = 1 (the flagship/bench configuration; the casadi family
-keeps the XLA path). Semantics mirror controllers/lbmpc.make_residual_and_jac
-exactly — equality tested in tests/test_pallas_gn.py.
+Families (m = 1 both): "fmincon" (prestabilized u = Ks x + c, running
+residual stages 0..N-3 — the bench configuration) and "casadi" (direct
+du decision, delta-scaled running stages 0..N-1 — the DMS flagship form of
+examples/DMS_LBMPC_casadi.m:252-268; r4, VERDICT item 1). Two structural
+optimizations ride along: (a) the casadi family's du-row Jacobians are
+CONSTANT (dudz = E_k), so their H contribution folds into the build-time
+Hconst and only the g term stays in-kernel; (b) sensitivities are CAUSAL
+(S_k touches columns j < k only), so the H outer-product accumulation skips
+the exactly-zero columns — for fmincon N=20 that halves the H ops.
+Semantics mirror controllers/lbmpc.make_residual_and_jac exactly — equality
+tested in tests/test_pallas_gn.py.
 """
 
 from __future__ import annotations
@@ -49,6 +57,7 @@ def build_pallas_gn_kernel(
     interpret: bool = False,
     debug_stage: int = 3,
     ipm: dict | None = None,
+    family: str = "fmincon",
 ):
     """Returns raw(z (B, nz), dx0 (B, n), windows) -> (e (B, ne), H (nz_p,
     tiles*nz_p*T) packed, g (B, nz)) with H/g the exact GN normal terms of
@@ -66,11 +75,17 @@ def build_pallas_gn_kernel(
     """
     N, n, m = qp.N, qp.n, qp.m
     assert m == 1, "pallas GN kernel covers the m=1 flagship configuration"
+    assert family in ("fmincon", "casadi"), family
+    fmincon = family == "fmincon"
     nth = np.atleast_2d(np.asarray(w.LAMBDA)).shape[1]
     nz = N * m + nth
-    # residual stack (lbmpc._finish): rx (N-2, n) + ru (N-2, m) + rP (n)
-    # + rT (n)  — rT = sqrtT*(LAM theta - xs_ref) has n rows
-    ne = (N - 2) * (n + m) + n + n
+    # residual stack (lbmpc._finish): rx (n_run, n) + ru (n_run, m) + rP (n)
+    # + rT (n) — rT = sqrtT*(LAM theta - xs_ref) has n rows. fmincon runs
+    # running stages 0..N-3 unscaled (costLBMPC.m quirk); casadi all N
+    # stages delta-scaled (DMS_LBMPC_casadi.m costfunction)
+    n_run = N - 2 if fmincon else N
+    sqd = 1.0 if fmincon else float(np.sqrt(delta))
+    ne = n_run * (n + m) + n + n
     nz_p = _round_up(nz, 8)
     ne_p = _round_up(ne, 8)
     T = tile
@@ -99,6 +114,15 @@ def build_pallas_gn_kernel(
     # the SQP's 1e-6 ridge) into a shared constant added once per lane
     Hconst = (1e-6 * np.eye(nz)
               + 2.0 * (sqrtT * LAM_T).T @ (sqrtT * LAM_T))
+    if not fmincon:
+        # casadi family: dudz = E_k (no prestabilizer), so every ru row's
+        # Jacobian sqd*Lr*(E_k - PSI_T) is constant — fold all N of them
+        # into Hconst; only their g term stays lane-dependent in-kernel
+        for k in range(N):
+            Ek = np.zeros(nz)
+            Ek[k * m] = 1.0
+            Jru = sqd * Lr * (Ek - PSI_T)
+            Hconst += 2.0 * np.outer(Jru, Jru)
     Hconst_p = np.zeros((nz_p, nz_p), np.float32)
     Hconst_p[:nz, :nz] = Hconst
     LAM_T_p = np.zeros((nz_p, n), np.float32)   # column i = LAM_T row i
@@ -310,21 +334,31 @@ def build_pallas_gn_kernel(
         # layout; extract_slice then asserts "limits[i] <= dim(i) (2 vs 1)")
         lane0 = dx_ref_[4:5, :] * 0.0
 
-        def add_outer(Drow, erow):
-            """Accumulate H += 2 outer(Drow) and g += 2 erow * Drow."""
+        th_cols = list(range(N * m, nz))
+
+        def add_outer(Drow, erow, cols=None):
+            """Accumulate H += 2 outer(Drow) and g += 2 erow * Drow.
+
+            cols restricts the H column loop to Drow's structurally nonzero
+            columns (sensitivity causality: S_k cols j < k, plus theta) —
+            skipped products are exactly zero, so this is an identity."""
             nonlocal Hcols, g_acc
             if debug_stage < 3:
                 return
             Drow = Drow + lane0
-            for j in range(nz):
+            for j in (range(nz) if cols is None else cols):
                 Hcols[j] = Hcols[j] + 2.0 * Drow[j:j + 1, :] * Drow
             g_acc = g_acc + 2.0 * erow * Drow
 
         for k in range(N):
             ck = z_ref[k:k + 1, :]
-            u = sum(Ksn[j] * x[j] for j in range(n)) + ck
-            dudz = sum(Ksn[j] * S[j] for j in range(n))
-            dudz = dudz + jnp.where(rows_z == k, 1.0, 0.0)
+            if fmincon:
+                u = sum(Ksn[j] * x[j] for j in range(n)) + ck
+                dudz = sum(Ksn[j] * S[j] for j in range(n))
+                dudz = dudz + jnp.where(rows_z == k, 1.0, 0.0)
+            else:
+                u = ck
+                dudz = jnp.where(rows_z == k, 1.0, 0.0) + lane0
 
             # --- NW oracle: value + closed-form Jacobian (oracle.py) ---
             xi = [x[0], x[1], u]
@@ -348,16 +382,31 @@ def build_pallas_gn_kernel(
                    for d in range(d_in)] for o in range(d_out)]
 
             # --- residual + Jacobian rows at stage k (pre-update state) ---
-            if k < N - 2 and debug_stage >= 2:
+            if k < n_run and debug_stage >= 2:
+                # causality: S_k columns j < k (+ theta from LAM_T);
+                # dudz columns j <= k (fmincon: Ks S_k + E_k)
+                cols_x = list(range(min(k, N * m))) + th_cols
+                cols_u = list(range(min(k + 1, N * m))) + th_cols
                 for i in range(n):
-                    e_rows[k * n + i] = sum(Lq[i, j] * (x[j] - xa[j])
-                                            for j in range(n))
+                    ex = sum(Lq[i, j] * (x[j] - xa[j]) for j in range(n))
                     Drow = sum(Lq[i, j] * (S[j] - LTcols[j])
                                for j in range(n))
-                    add_outer(Drow, e_rows[k * n + i])
-                e_rows[(N - 2) * n + k] = Lr * (u - ua)
+                    if not fmincon:
+                        ex = sqd * ex
+                        Drow = sqd * Drow
+                    e_rows[k * n + i] = ex
+                    add_outer(Drow, ex, cols=cols_x)
+                eu = Lr * (u - ua)
                 Dru = Lr * (dudz - PTcol)
-                add_outer(Dru, e_rows[(N - 2) * n + k])
+                if not fmincon:
+                    eu = sqd * eu
+                    Dru = sqd * Dru
+                e_rows[n_run * n + k] = eu
+                if fmincon:
+                    add_outer(Dru, eu, cols=cols_u)
+                elif debug_stage >= 3:
+                    # constant Jacobian (folded into Hconst): g term only
+                    g_acc = g_acc + 2.0 * eu * (Dru + lane0)
 
             # --- state + sensitivity update ---
             x_new = []
@@ -373,7 +422,7 @@ def build_pallas_gn_kernel(
             S = S_new
 
         # --- terminal rows: rP = Lp (xN - xa), rT = sqrtT (xa - xs_ref) ---
-        base = (N - 2) * (n + m)
+        base = n_run * (n + m)
         if debug_stage < 2:
             e_rows[0] = x[0] + g_acc[0:1, :]   # keep outputs live
         for i in range(n if debug_stage >= 2 else 0):

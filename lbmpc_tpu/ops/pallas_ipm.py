@@ -45,6 +45,7 @@ def build_pallas_qp_solver_h(
     tau: float = 0.995,
     d_cap: float = 1e6,
     interpret: bool = False,
+    mcols_bf16: bool = False,
 ):
     """Per-problem-Hessian full-IPM kernel: the whole Mehrotra loop in VMEM.
 
@@ -59,6 +60,17 @@ def build_pallas_qp_solver_h(
     certificates (the SQP hot path consumes x and mu only; use the XLA
     backend when infeasibility detection is needed).
 
+    r4 split-G (VERDICT item 2 / speed-of-light): constraint rows sharing a
+    2-column support — the 616-row terminal block + tightened rows touch
+    only {c_0, theta} (controllers/condensed.py) — leave the MXU operands
+    entirely: their G' diag(d) G contribution is a 2x2 corner computed by
+    three VPU sublane reductions, and every per-iteration matmul contracts
+    over the ~4x smaller dense remainder. Same math (summation order only).
+
+    mcols_bf16: cast the KKT-assembly matmul operands to bfloat16 with f32
+    accumulation (one MXU pass instead of f32-HIGHEST's six). Gated by the
+    accuracy audit — see scripts/accuracy_audit.py results in bench.py.
+
     Returns raw(H_b (B, nz, nz) f32, g (B, nz) f32, h (B, mI) f32)
     -> (x (B, nz), mu (B,)); unjitted and context-free for embedding in an
     outer jitted scan (the caller owns matmul precision, like
@@ -67,14 +79,40 @@ def build_pallas_qp_solver_h(
     nz = G.shape[1]
     mI = G.shape[0]
     nz_p = _round_up(nz, 8)
-    mI_p = _round_up(mI, 128)
     T = tile
 
-    Gp = np.zeros((mI_p, nz_p), np.float32)
-    Gp[:mI, :nz] = G
+    # ---- host-side row split: dominant 2-column-support group ----
+    Gn = np.asarray(G, np.float32)
+    supports = [np.nonzero(Gn[i])[0] for i in range(mI)]
+    groups: dict = {}
+    for i, s in enumerate(supports):
+        if len(s) <= 2 and len(s) > 0:
+            key = (int(s[0]), int(s[-1]))
+            groups.setdefault(key, []).append(i)
+    best = max(groups.items(), key=lambda kv: len(kv[1]), default=None)
+    if best is not None and len(best[1]) >= 64 and best[0][0] != best[0][1]:
+        (ca, cb), sp_rows = best
+        sp_rows = list(sp_rows)
+    else:
+        ca = cb = 0
+        sp_rows = []
+    d_rows = [i for i in range(mI) if i not in set(sp_rows)]
+    mD, mS = len(d_rows), len(sp_rows)
+    mD_p = _round_up(max(mD, 1), 128)
+    mS_p = _round_up(mS, 128) if mS else 0
+    mT_p = mD_p + mS_p
+    perm = np.asarray(d_rows + sp_rows, np.int64)
+
+    Gp = np.zeros((mD_p, nz_p), np.float32)
+    Gp[:mD, :nz] = Gn[d_rows]
     GT = Gp.T.copy()
     Gp_j = jnp.asarray(Gp)
     GT_j = jnp.asarray(GT)
+    if mS:
+        SP = np.zeros((mS_p, 128), np.float32)
+        SP[:mS, 0] = Gn[sp_rows, ca]
+        SP[:mS, 1] = Gn[sp_rows, cb]
+        SP_j = jnp.asarray(SP)
 
     def mxu(a, b):
         return jax.lax.dot_general(
@@ -83,14 +121,34 @@ def build_pallas_qp_solver_h(
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    def kernel(H_ref, g_ref, h_ref, GT_ref, G_ref, x_out, mu_out,
-               x_s, s_s, z_s):
-        with jax.enable_x64(False):
-            _kernel_body(H_ref, g_ref, h_ref, GT_ref, G_ref, x_out, mu_out,
-                         x_s, s_s, z_s)
+    def mxu_m(a, b):
+        if not mcols_bf16:
+            return mxu(a, b)
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    def _kernel_body(H_ref, g_ref, h_ref, GT_ref, G_ref, x_out, mu_out,
-                     x_s, s_s, z_s):
+    def kernel(H_ref, g_ref, h_ref, GT_ref, G_ref, *rest):
+        with jax.enable_x64(False):
+            _kernel_body(H_ref, g_ref, h_ref, GT_ref, G_ref, *rest)
+
+    def _kernel_body(H_ref, g_ref, h_ref, GT_ref, G_ref, *rest):
+        # constraint-space state lives SPLIT: dense rows (MXU operands) and
+        # the 2-column sparse block (VPU broadcasts/reductions) never meet in
+        # one array — no in-kernel concat (Mosaic relayout trap, r3 notes)
+        if mS:
+            (SP_ref, hs_ref, x_out, mu_out, x_s, s_s, z_s,
+             ss_s, zs_s) = rest
+            ga = SP_ref[:, 0:1]
+            gb = SP_ref[:, 1:2]
+            hs = hs_ref[:]
+            rows_s = jax.lax.broadcasted_iota(jnp.int32, (mS_p, 1), 0)
+            act_s = jnp.where(rows_s < jnp.int32(mS), 1.0,
+                              0.0).astype(jnp.float32)
+        else:
+            x_out, mu_out, x_s, s_s, z_s = rest
         g = g_ref[:]
         h = h_ref[:]
         GTm = GT_ref[:]
@@ -98,18 +156,31 @@ def build_pallas_qp_solver_h(
         Hcols = [H_ref[:, j * T:(j + 1) * T] for j in range(nz_p)]
 
         rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
-        rows_m = jax.lax.broadcasted_iota(jnp.int32, (mI_p, 1), 0)
-        act = jnp.where(rows_m < jnp.int32(mI), 1.0, 0.0).astype(jnp.float32)
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (mD_p, 1), 0)
+        act = jnp.where(rows_m < jnp.int32(mD), 1.0, 0.0).astype(jnp.float32)
 
         x_s[:] = jnp.zeros((nz_p, T), jnp.float32)
         s_s[:] = jnp.maximum(h, 1.0)
-        z_s[:] = jnp.broadcast_to(act, (mI_p, T))  # padded rows: z = 0 forever
+        z_s[:] = jnp.broadcast_to(act, (mD_p, T))  # padded rows: z = 0 forever
+        if mS:
+            ss_s[:] = jnp.maximum(hs, 1.0)
+            zs_s[:] = jnp.broadcast_to(act_s, (mS_p, T))
 
         def Hx(x):
             acc = Hcols[0] * x[0:1, :]
             for j in range(1, nz_p):
                 acc = acc + Hcols[j] * x[j:j + 1, :]
             return acc
+
+        def Gmul_sp(x):
+            return ga * x[ca:ca + 1, :] + gb * x[cb:cb + 1, :]
+
+        def GT_sp_add(acc, vs):
+            """acc += sparse-block rows' contribution to G' v."""
+            ra = jnp.sum(ga * vs, axis=0, keepdims=True)
+            rb = jnp.sum(gb * vs, axis=0, keepdims=True)
+            return (acc + jnp.where(rows_n == ca, ra, 0.0)
+                    + jnp.where(rows_n == cb, rb, 0.0))
 
         def chol_cols(Mcols):
             Ls = []
@@ -130,35 +201,53 @@ def build_pallas_qp_solver_h(
             return y
 
         def tri_upper_t(Ls, y):
-            xs = [None] * nz_p
+            # reduction form (r4): x_j = (y_j - dot(col_j, x_partial)) / L_jj
+            # — one masked sublane reduce replaces the O(nz_p) inner loop
+            # (rows < j of Ls[j] and unset x rows are exactly zero)
+            x = jnp.zeros_like(y)
             for idx in range(nz_p):
                 j = nz_p - 1 - idx
-                acc = y[j:j + 1, :]
-                for k in range(j + 1, nz_p):
-                    acc = acc - Ls[j][k:k + 1, :] * xs[k]
-                xs[j] = acc / Ls[j][j:j + 1, :]
-            x = jnp.zeros_like(y)
-            for j in range(nz_p):
-                x = x + jnp.where(rows_n == j, xs[j], 0.0)
+                dotj = jnp.sum(Ls[j] * x, axis=0, keepdims=True)
+                xj = (y[j:j + 1, :] - dotj) / Ls[j][j:j + 1, :]
+                x = x + jnp.where(rows_n == j, xj, 0.0)
             return x
 
         def body(it, _):
             x = x_s[:]
             s = s_s[:]
             z = z_s[:]
+            if mS:
+                s2 = ss_s[:]
+                z2 = zs_s[:]
             rd = Hx(x) + g + mxu(GTm, z)
+            if mS:
+                rd = GT_sp_add(rd, z2)
             Gx = mxu(Gm, x)
             rp = (Gx + s - h) * act
             s_safe = jnp.maximum(s, 1e-25)
             d = jnp.minimum(z / s_safe, d_cap) * act
+            if mS:
+                Gx2 = Gmul_sp(x)
+                rp2 = (Gx2 + s2 - hs) * act_s
+                s2_safe = jnp.maximum(s2, 1e-25)
+                d2 = jnp.minimum(z2 / s2_safe, d_cap) * act_s
+                saa = jnp.sum(d2 * ga * ga, axis=0, keepdims=True)
+                sab = jnp.sum(d2 * ga * gb, axis=0, keepdims=True)
+                sbb = jnp.sum(d2 * gb * gb, axis=0, keepdims=True)
 
             # KKT normal matrix per column + ridge, then Jacobi equilibration
             # (ipm_fused `scale=True`: unit diagonal restores the digits the
             # d-weighted diagonal's dynamic range costs in f32)
             Mcols = []
             for j in range(nz_p):
-                Mj = mxu(GTm, d * Gm[:, j:j + 1]) + Hcols[j]
+                Mj = mxu_m(GTm, d * Gm[:, j:j + 1]) + Hcols[j]
                 Mj = Mj + jnp.where(rows_n == j, 1e-6, 0.0)
+                if mS and j == ca:
+                    Mj = (Mj + jnp.where(rows_n == ca, saa, 0.0)
+                          + jnp.where(rows_n == cb, sab, 0.0))
+                elif mS and j == cb:
+                    Mj = (Mj + jnp.where(rows_n == ca, sab, 0.0)
+                          + jnp.where(rows_n == cb, sbb, 0.0))
                 Mcols.append(Mj)
             dg = jnp.zeros((nz_p, T), jnp.float32)
             for j in range(nz_p):
@@ -167,42 +256,74 @@ def build_pallas_qp_solver_h(
             Ls = chol_cols([Mcols[j] * sc * sc[j:j + 1, :]
                             for j in range(nz_p)])
 
-            def kkt(rc):
+            def kkt(rc, rc2):
                 t = (d * rp - rc / s_safe) * act
-                rhs = -(rd + mxu(GTm, t))
-                dx = tri_upper_t(Ls, tri_lower(Ls, rhs * sc)) * sc
+                rhs = rd + mxu(GTm, t)
+                if mS:
+                    t2 = (d2 * rp2 - rc2 / s2_safe) * act_s
+                    rhs = GT_sp_add(rhs, t2)
+                dx = tri_upper_t(Ls, tri_lower(Ls, -rhs * sc)) * sc
                 Gdx = mxu(Gm, dx)
                 dz = (d * (rp + Gdx) - rc / s_safe) * act
                 ds = (-rp - Gdx) * act
-                return dx, ds, dz
+                if mS:
+                    Gdx2 = Gmul_sp(dx)
+                    dz2 = (d2 * (rp2 + Gdx2) - rc2 / s2_safe) * act_s
+                    ds2 = (-rp2 - Gdx2) * act_s
+                else:
+                    dz2 = ds2 = None
+                return dx, ds, dz, ds2, dz2
 
-            def steplen(v, dv, t_):
+            def ratio_min(v, dv):
                 ratio = jnp.where(dv < 0.0, -v / jnp.where(dv < 0.0, dv, -1.0),
                                   BIG)
-                return jnp.minimum(1.0,
-                                   t_ * jnp.min(ratio, axis=0, keepdims=True))
+                return jnp.min(ratio, axis=0, keepdims=True)
 
-            mu = jnp.sum(s * z * act, axis=0, keepdims=True) / float(mI)
+            def steplen(v, dv, v2, dv2, t_):
+                r = ratio_min(v, dv)
+                if mS:
+                    r = jnp.minimum(r, ratio_min(v2, dv2))
+                return jnp.minimum(1.0, t_ * r)
+
+            def dot_sz(a, b, a2, b2):
+                acc = jnp.sum(a * b * act, axis=0, keepdims=True)
+                if mS:
+                    acc = acc + jnp.sum(a2 * b2 * act_s, axis=0, keepdims=True)
+                return acc / float(mI)
+
+            if not mS:
+                s2 = z2 = None
+            mu = dot_sz(s, z, s2, z2)
             rc_aff = s * z * act
-            dxa, dsa, dza = kkt(rc_aff)
-            ap = steplen(s, dsa, 1.0)
-            ad = steplen(z, dza, 1.0)
-            mu_aff = jnp.sum((s + ap * dsa) * (z + ad * dza) * act,
-                             axis=0, keepdims=True) / float(mI)
+            rc2_aff = s2 * z2 * act_s if mS else None
+            dxa, dsa, dza, ds2a, dz2a = kkt(rc_aff, rc2_aff)
+            ap = steplen(s, dsa, s2, ds2a, 1.0)
+            ad = steplen(z, dza, z2, dz2a, 1.0)
+            mu_aff = dot_sz(s + ap * dsa, z + ad * dza,
+                            s2 + ap * ds2a if mS else None,
+                            z2 + ad * dz2a if mS else None)
             sigma = (mu_aff / jnp.maximum(mu, 1e-25)) ** 3
             rc = (s * z + dsa * dza - sigma * mu) * act
-            dx, ds, dz = kkt(rc)
-            ap = steplen(s, ds, tau)
-            ad = steplen(z, dz, tau)
+            rc2 = ((s2 * z2 + ds2a * dz2a - sigma * mu) * act_s
+                   if mS else None)
+            dx, ds, dz, ds2, dz2 = kkt(rc, rc2)
+            ap = steplen(s, ds, s2, ds2, tau)
+            ad = steplen(z, dz, z2, dz2, tau)
             x_s[:] = x + ap * dx
             s_s[:] = s + ap * ds
             z_s[:] = z + ad * dz
+            if mS:
+                ss_s[:] = s2 + ap * ds2
+                zs_s[:] = z2 + ad * dz2
             return 0
 
         jax.lax.fori_loop(0, iters, body, 0)
         x_out[:] = x_s[:]
-        mu_out[:] = jnp.sum(s_s[:] * z_s[:] * act, axis=0,
-                            keepdims=True) / float(mI)
+        mu_fin = jnp.sum(s_s[:] * z_s[:] * act, axis=0, keepdims=True)
+        if mS:
+            mu_fin = mu_fin + jnp.sum(ss_s[:] * zs_s[:] * act_s, axis=0,
+                                      keepdims=True)
+        mu_out[:] = mu_fin / float(mI)
 
     def raw(H_b: jax.Array, g: jax.Array, h: jax.Array):
         with jax.enable_x64(False):
@@ -229,44 +350,56 @@ def build_pallas_qp_solver_h(
                    .reshape(nz_p, (Bp // T) * nz_p * T))
             g_t = jnp.zeros((nz_p, Bp), jnp.float32).at[:nz, :].set(
                 g.astype(jnp.float32).T)
-            h_t = jnp.full((mI_p, Bp), BIG, jnp.float32).at[:mI, :].set(
-                h.astype(jnp.float32).T)
-            x_t, mu_t = _call_packed(Hpk, g_t, h_t, Bp)
+            x_t, mu_t = _call_packed(Hpk, g_t, *_split_h(h, Bp, h.shape[0]),
+                                     Bp)
             return x_t[:nz, :B].T, mu_t[0, :B]
 
-    def _call_packed(Hpk, g_t, h_t, Bp):
+    d_rows_np = np.asarray(d_rows, np.int64)
+    sp_rows_np = np.asarray(sp_rows, np.int64)
+
+    def _split_h(h, Bp, B):
+        """Permute h into the (dense, sparse) row layout; pad rows BIG."""
+        h32 = h.astype(jnp.float32)
+        h_d = jnp.full((mD_p, Bp), BIG, jnp.float32).at[:mD, :B].set(
+            h32[:, d_rows_np].T)
+        if not mS:
+            return (h_d,)
+        h_sp = jnp.full((mS_p, Bp), BIG, jnp.float32).at[:mS, :B].set(
+            h32[:, sp_rows_np].T)
+        return (h_d, h_sp)
+
+    def _call_packed(Hpk, g_t, h_t, *rest_h_and_B):
+        *h_sp, Bp = rest_h_and_B
+        lane = lambda rows: pl.BlockSpec((rows, T), lambda i: (0, i),
+                                         memory_space=pltpu.VMEM)
+        const = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((nz_p, nz_p * T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            lane(nz_p), lane(mD_p), const(nz_p, mD_p), const(mD_p, nz_p),
+        ]
+        operands = [Hpk, g_t, h_t, GT_j, Gp_j]
+        scratch = [pltpu.VMEM((nz_p, T), jnp.float32),
+                   pltpu.VMEM((mD_p, T), jnp.float32),
+                   pltpu.VMEM((mD_p, T), jnp.float32)]
+        if mS:
+            in_specs += [const(mS_p, 128), lane(mS_p)]
+            operands += [SP_j, h_sp[0]]
+            scratch += [pltpu.VMEM((mS_p, T), jnp.float32),
+                        pltpu.VMEM((mS_p, T), jnp.float32)]
         x_t, mu_t = pl.pallas_call(
             kernel,
             grid=(Bp // T,),
-            in_specs=[
-                pl.BlockSpec((nz_p, nz_p * T), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nz_p, T), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mI_p, T), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nz_p, mI_p), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mI_p, nz_p), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((nz_p, T), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
+            out_specs=[lane(nz_p), lane(1)],
             out_shape=[
                 jax.ShapeDtypeStruct((nz_p, Bp), jnp.float32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((nz_p, T), jnp.float32),
-                pltpu.VMEM((mI_p, T), jnp.float32),
-                pltpu.VMEM((mI_p, T), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(Hpk, g_t, h_t, GT_j, Gp_j)
+        )(*operands)
         return x_t, mu_t
 
     def raw_packed(H_pk: jax.Array, g: jax.Array, h: jax.Array):
@@ -283,9 +416,7 @@ def build_pallas_qp_solver_h(
             assert Bp >= B and Bp % T == 0, (B, Bp, T)
             g_t = jnp.zeros((nz_p, Bp), jnp.float32).at[:nz, :B].set(
                 g.astype(jnp.float32).T)
-            h_t = jnp.full((mI_p, Bp), BIG, jnp.float32).at[:mI, :B].set(
-                h.astype(jnp.float32).T)
-            x_t, mu_t = _call_packed(H_pk, g_t, h_t, Bp)
+            x_t, mu_t = _call_packed(H_pk, g_t, *_split_h(h, Bp, B), Bp)
             return x_t[:nz, :B].T, mu_t[0, :B]
 
     raw.raw_packed = raw_packed

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from lbmpc_tpu.config import make_preset
-from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+from lbmpc_tpu.controllers.condensed import build_casadi_dms, build_fmincon_lmpc
 from lbmpc_tpu.controllers.lbmpc import LBMPCWeights, make_residual_and_jac
 from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
 from lbmpc_tpu.ops.pallas_gn import build_pallas_gn_kernel
@@ -23,17 +23,30 @@ from lbmpc_tpu.oracle import init_window
 from lbmpc_tpu.runtime.scenario import build_scenario
 
 
-def _setup(N=12, q=18):
-    cfg = make_preset("LBMPC_N40")
-    cfg = dataclasses.replace(
-        cfg, ocp=dataclasses.replace(cfg.ocp, N=N),
-        oracle=dataclasses.replace(cfg.oracle, q=q))
-    sc = build_scenario(cfg)
-    qp = build_fmincon_lmpc(
-        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
-        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N, dx_ref=np.asarray(cfg.dx_ref),
-        terminal_at=cfg.ocp.terminal_at,
-        tighten_first_step=cfg.ocp.tighten_first_step)
+def _setup(N=12, q=18, family="fmincon"):
+    if family == "casadi":
+        # tiny-shape version of the DMS flagship preset (DMS_LBMPC_q100)
+        cfg = make_preset("DMS_LBMPC_q100")
+        cfg = dataclasses.replace(
+            cfg, ocp=dataclasses.replace(cfg.ocp, N=N),
+            oracle=dataclasses.replace(cfg.oracle, q=q))
+        sc = build_scenario(cfg)
+        qp = build_casadi_dms(
+            sc.A, sc.B, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+            sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N, delta=cfg.plant.ts,
+            terminal_at=cfg.ocp.terminal_at,
+            tighten_first_step=cfg.ocp.tighten_first_step)
+    else:
+        cfg = make_preset("LBMPC_N40")
+        cfg = dataclasses.replace(
+            cfg, ocp=dataclasses.replace(cfg.ocp, N=N),
+            oracle=dataclasses.replace(cfg.oracle, q=q))
+        sc = build_scenario(cfg)
+        qp = build_fmincon_lmpc(
+            sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+            sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N, dx_ref=np.asarray(cfg.dx_ref),
+            terminal_at=cfg.ocp.terminal_at,
+            tighten_first_step=cfg.ocp.tighten_first_step)
     w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
                           sc.ocp.LAMBDA, sc.ocp.PSI)
     return cfg, sc, qp, w
@@ -142,3 +155,64 @@ def test_fused_sqp_pallas_mono_matches_pallas_full():
     assert np.median(d) < 1e-6
     assert d.max() < 5e-3
     assert bool(np.asarray(cf).all()) and bool(np.asarray(cm).all())
+
+
+def test_gn_kernel_casadi_matches_xla_residual_jacobian():
+    """casadi/DMS family (VERDICT r4 item 1): e/H/g equal the XLA path to
+    f32 roundoff — exercises the delta-scaled all-stage residual stack, the
+    constant-du-row Hconst folding, and the causality-restricted H loop."""
+    N, q, B = 12, 18, 16
+    cfg, sc, qp, w = _setup(N, q, family="casadi")
+    f32 = jnp.float32
+    _, res_jac = make_residual_and_jac(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, family="casadi", delta=cfg.plant.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref), dtype=f32)
+    resjac_b = jax.vmap(res_jac, in_axes=(0, 0, 0))
+    gn = build_pallas_gn_kernel(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, delta=cfg.plant.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref), q=q, tile=8, interpret=True,
+        family="casadi")
+    rng = np.random.default_rng(1)
+    z, dx, wins = _inputs(qp, q, B, rng, partial_valid=True)
+    with jax.default_matmul_precision("highest"):
+        e_x, J = resjac_b(z, dx, wins)
+        Hb = (2.0 * jnp.einsum("bei,bej->bij", J, J,
+                               precision=jax.lax.Precision.HIGHEST)
+              + 1e-6 * jnp.eye(qp.nz, dtype=f32)[None])
+        gb = 2.0 * jnp.einsum("bei,be->bi", J, e_x,
+                              precision=jax.lax.Precision.HIGHEST)
+        e_p, H_pk, g_p = jax.jit(gn)(z, dx, wins)
+    assert np.abs(np.asarray(e_p) - np.asarray(e_x)).max() < 1e-4
+    gmax = np.abs(np.asarray(gb)).max()
+    assert np.abs(np.asarray(g_p) - np.asarray(gb)).max() < 1e-5 * gmax
+    T, nz_p = 8, gn.nz_p
+    Hp = (np.asarray(H_pk).reshape(nz_p, B // T, nz_p, T)
+          .transpose(1, 3, 0, 2).reshape(B, nz_p, nz_p)[:, :qp.nz, :qp.nz])
+    hmax = np.abs(np.asarray(Hb)).max()
+    assert np.abs(Hp - np.asarray(Hb)).max() < 1e-5 * hmax
+
+
+def test_fused_sqp_pallas_full_casadi_matches_xla():
+    """qp_kernel='pallas_full' with family='casadi' reproduces the
+    XLA-subproblem SQP on the DMS formulation (VERDICT r4 item 1)."""
+    N, q, B = 12, 18, 16
+    cfg, sc, qp, w = _setup(N, q, family="casadi")
+    kw = dict(family="casadi", delta=cfg.plant.ts,
+              bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+              dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=16,
+              tile=B, interpret=True)
+    sx = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                 qp_kernel="xla", **kw)
+    sp = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                 qp_kernel="pallas_full", **kw)
+    rng = np.random.default_rng(1)
+    z0js, dx, wins = _inputs(qp, q, B, rng)
+    z0 = jnp.zeros_like(z0js)
+    zx, cx = sx(dx, wins, z0)
+    zp, cp = sp(dx, wins, z0)
+    d = np.abs(np.asarray(zx) - np.asarray(zp))
+    assert np.median(d) < 1e-6
+    assert d.max() < 5e-3
+    assert bool(np.asarray(cx).all()) and bool(np.asarray(cp).all())
