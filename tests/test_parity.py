@@ -222,3 +222,70 @@ def test_lmpc_closed_loop_envelope(golden):
     assert err[:, :80].max() < 3e-3           # pre-transient: tight
     assert err[0].max() < 2e-2                # mass flow stays close throughout
     assert err[1].max() < 2e-2
+
+
+@pytest.mark.skipif(not RUN_SLOW, reason="interpret-mode pallas_full compile"
+                    " of the N=50/q=100 kernels takes minutes")
+def test_pallas_full_backend_closed_loop_golden_parity(golden):
+    """VERDICT r3 item 7: the SHIPPING backend (f32 pallas_full hybrid — the
+    bench.py headline configuration) through a full closed-loop episode
+    DIRECTLY against a reference golden, not transitively via the f64 paths.
+
+    LBMPC_N50 (trajectory does not excite the active-set switch — noise
+    floor docs/NOISE_FLOOR.md: golden-vs-us class there is ~1e-4-5e-4 in
+    f64). The f32 fused backend adds its own ~1e-2-class per-solve noise
+    (scripts/accuracy_audit.py: c0 p50 8.1e-3 vs the vmapped path), which
+    the closed loop low-passes; envelope set to the measured class with
+    margin."""
+    import dataclasses
+
+    from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+    from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
+    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_hybrid
+    from lbmpc_tpu.models.mgcm import rk23_step
+    from lbmpc_tpu.oracle import init_window
+    from lbmpc_tpu.runtime.closed_loop import run_closed_loop_batched
+
+    steps = 300
+    cfg = make_preset("LBMPC_N50", iterations=steps)
+    sc = build_scenario(cfg)
+    N, q = cfg.ocp.N, cfg.oracle.q
+    qp = build_fmincon_lmpc(
+        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N, dx_ref=np.asarray(cfg.dx_ref),
+        terminal_at=cfg.ocp.terminal_at,
+        tighten_first_step=cfg.ocp.tighten_first_step)
+    w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+                          sc.ocp.LAMBDA, sc.ocp.PSI)
+    B = 8  # tile width; all lanes identical -> also checks lane determinism
+    hybrid = make_lbmpc_solver_hybrid(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
+        bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=(16, 8),
+        tile=B, interpret=True, qp_kernel="pallas_full",
+        alphas=((1.0,), (1.0, 0.5, 0.25)), repair_frac=1.0 / B,
+        repair_sqp_iters=1, repair_ipm_iters=8, repair_warm="fused",
+        repair_backend="fused")
+    f32 = jnp.float32
+    dx0 = jnp.broadcast_to(jnp.asarray(cfg.dx_init, f32), (B, 4))
+    win0 = init_window(q, dtype=f32)
+    wins0 = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), win0)
+    plant = lambda x, u: rk23_step(x, u[0], cfg.plant.ts)
+    with jax.default_matmul_precision("highest"):
+        res = run_closed_loop_batched(
+            hybrid.raw, plant, lambda z, a, b, w_: z,
+            jnp.asarray(np.atleast_2d(sc.ocp.Ks), f32),
+            jnp.asarray(sc.A, f32), jnp.asarray(sc.B, f32),
+            jnp.asarray(sc.ocp.LAMBDA, f32),
+            jnp.asarray(cfg.plant.x_wp, f32),
+            jnp.asarray([cfg.plant.u_wp], f32),
+            dx0, jnp.zeros((B, qp.nz), f32), wins0, steps,
+            learn=True, log_post_state=False)
+    assert bool(np.asarray(res.solver_converged).all())
+    sysH = np.asarray(res.sys_history)[0].T          # (5, steps+1)
+    g = golden("LBMPC_N50")["sysH"][:, : steps + 1]
+    err = np.abs(sysH - g)
+    # class-level: f32 backend noise through a switch-free trajectory
+    assert err.max() < 2e-2, err.max()
+    # slow states track tightly; x4/u carry the solver-noise class
+    assert err[:2].max() < 2e-3, err[:2].max()

@@ -251,3 +251,64 @@ def test_roa_backward_mgcm_scale_matches_lp_feasibility():
             continue
         in_poly = bool(np.all(P.F @ x0 <= P.h + 1e-9))
         assert in_poly == lp_feasible(x0), x0
+
+
+def test_mg2_kt_divergence_quantified():
+    """VERDICT r3 item 9 close-out: QUANTIFY the MG2 robust-variant
+    divergence from getCONSPOLY.m:38-55's K_t construction.
+
+    On the 2-state Moore-Greitzer reduction, the reference's terminal
+    machinery (K_t = -dlqr(A,B,Q,10R), extended stack, pdiff) produces a set
+    that is NOT positively invariant: defect +8.0e-3 under its own K_t
+    dynamics (the one-step-robust block with state_uncert=0.02 overruns the
+    slow K_t loop, rho(A+B K_t)=0.994) and +4.93 under the Ks prestabilizer
+    the rollouts actually apply (rho=0.78) — an order of magnitude beyond
+    the set's own ~0.5 axis extent, which is why the closed loop
+    limit-cycles (config.py MG2 note). The Ks-consistent tube construction
+    the MG2 presets ship instead (sets/terminal.get_cons_robust_ks) is
+    invariant to machine precision under the applied dynamics, at comparable
+    set size (axis supports 0.43/0.48/0.92 vs 0.46/0.50/0.95).
+
+    Defect metric: max_i [ sup_{w in P} (Aw' F_i)'w - h_i ]  (<= 0 iff
+    Aw P subseteq P)."""
+    import numpy as np
+    from lbmpc_tpu.models.mgcm import mg2_dlti, MG2_EQ_X, MG2_EQ_U
+    from lbmpc_tpu.synthesis import mat_ocp, dlqr
+    from lbmpc_tpu.sets.terminal import get_cons_poly, get_cons_robust_ks
+    from lbmpc_tpu.sets.polytope import Polytope
+
+    A, B, C, _ = mg2_dlti(0.01)
+    ocp = mat_ocp(A, B, C, poles=(0.75, 0.78), T=1000.0)
+    common = dict(x_min=(0.0, 1.1875), x_max=(1.0, 2.1875), u_min=0.1547,
+                  u_max=2.1547, x_wp=tuple(MG2_EQ_X), u_wp=MG2_EQ_U)
+    cs_ref = get_cons_poly(**common, state_uncert=(0.02, 5e-4), A=A, B=B,
+                           Q=ocp.Q, R=ocp.R, LAMBDA=ocp.LAMBDA, PSI=ocp.PSI,
+                           LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0)
+    cs_ks = get_cons_robust_ks(**common, state_uncert=(1.5e-4, 1.5e-4),
+                               A=A, B=B, Ks=ocp.Ks, LAMBDA=ocp.LAMBDA,
+                               PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0,
+                               PSI_0=ocp.PSI_0)
+    K_t = -np.atleast_2d(dlqr(A, B, np.asarray(ocp.Q),
+                              10.0 * np.asarray(ocp.R)))
+    Ks = np.atleast_2d(ocp.Ks)
+    n = B.shape[0]
+    LAM = np.atleast_2d(ocp.LAMBDA)
+    PSI = np.atleast_2d(ocp.PSI)
+
+    def Aw_of(K):
+        L = PSI - K @ LAM
+        return np.block([[A + B @ K, B @ L],
+                         [np.zeros((LAM.shape[1], n)), np.eye(LAM.shape[1])]])
+
+    def defect(F, h, Aw):
+        P = Polytope(F, h)
+        sup = np.array([P.support(Aw.T @ F[i]) for i in range(len(h))])
+        return float(np.max(sup - h))
+
+    assert np.max(np.abs(np.linalg.eigvals(A + B @ K_t))) > 0.99
+    # the reference construction is non-invariant on this plant...
+    assert defect(cs_ref.F_w_N, cs_ref.h_w_N, Aw_of(K_t)) > 5e-3
+    # ...and grossly so under the prestabilizer the loop actually applies
+    assert defect(cs_ref.F_w_N, cs_ref.h_w_N, Aw_of(Ks)) > 1.0
+    # the shipped Ks-consistent set is invariant to machine precision
+    assert defect(cs_ks.F_w_N, cs_ks.h_w_N, Aw_of(Ks)) < 1e-9
