@@ -47,12 +47,19 @@ def _tile_cap(n_p: int, tile: int, blocks: int) -> int:
 
 def factor_store_feasible(n: int, tile: int = 512) -> bool:
     """True when the factor-storing kernel (chol_factor_solve + chol_resolve)
-    fits scoped VMEM at some lane tile >= 128. At nz_p >= ~76 the M-in +
-    L-out blocks exceed 16M even at tile 128 (measured OOM at the DMS
-    nz_p=104 shape) — callers then use chol_solve twice (refactor for the
-    corrector) instead of storing L."""
+    fits scoped VMEM at some lane tile >= 128. Under the DEFAULT 16M scoped
+    limit that holds only for nz_p < ~76 (measured OOM at the DMS nz_p=104
+    shape); _factor_solve_call now RAISES vmem_limit_bytes when the
+    double-buffered M-in + L-out blocks need it (22.4M at nz_p=104/tile 128
+    — the same mechanism the blocked kernel already uses at 24M), which
+    extends factor reuse to the DMS flagship. The gate here is the raised
+    budget (48M, ~3.4x headroom under the 128M physical VMEM); set
+    LBMPC_CHOL_STORE=0 to force the refactor-per-solve path for A/Bs."""
+    import os
+    if os.environ.get("LBMPC_CHOL_STORE") == "0":
+        return False
     n_p = _round_up(n, 8)
-    return 2 * 2 * (n_p * n_p * 128 * 4) <= 14 * 1024 * 1024
+    return 2 * 2 * (n_p * n_p * 128 * 4) <= 48 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -120,11 +127,19 @@ def _factor_solve_call(M_t, b_t, n_p, tile, interpret):
                          memory_space=pltpu.VMEM),
         ]
         operands += [T8, B8]
+    # Scoped-VMEM need: (M in + L out) + (b in + x out), each double-buffered
+    # by Mosaic. Above the 16M default (nz_p >= ~76: 22.4M at nz_p=104/tile
+    # 128) grant exactly what the blocks need + 4M headroom — the mechanism
+    # that puts the DMS flagship on the factor-reuse path (r4; v5e physical
+    # VMEM is 128M).
+    need = 2 * 2 * (n2 + n_p) * tile * 4
+    vlim = max(24 << 20 if blocked else 0,
+               need + (4 << 20) if need > (14 << 20) else 0)
     return pl.pallas_call(
         kernel_blocked if blocked else kernel,
         grid=(B // tile,),
-        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=24 << 20)
-                         if blocked else None),
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vlim)
+                         if vlim else None),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((n2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),

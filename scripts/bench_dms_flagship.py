@@ -162,6 +162,23 @@ def main():
             qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2, ipm_iters=(16, 8),
             qp_kernel="pallas_full", tile=128,
             alphas=((1.0,), (1.0, 0.5, 0.25)), **kw), batch=512, R=8)
+    elif mode == "cholstore":
+        # r5 lever 1 (docs/ROADMAP.md): factor reuse at the DMS shape.
+        # LBMPC_CHOL_STORE=0 -> refactor-per-solve (2 factorizations/IPM
+        # iter, the r4 production path); unset -> chol_factor_solve +
+        # chol_resolve with the raised scoped-VMEM limit (1 factorization +
+        # one HBM L roundtrip, ~88 MB/iter at b1024 ~ 0.1 ms vs the ~10.8k
+        # sequential ops of a refactor). env is read at solver-build time.
+        import os
+        base = dict(sqp_iters=2, ipm_iters=(16, 8), tile=256,
+                    alphas=((1.0,), (1.0, 0.5, 0.25)), **kw)
+        os.environ["LBMPC_CHOL_STORE"] = "0"
+        nostore = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w, **base)
+        del os.environ["LBMPC_CHOL_STORE"]
+        store = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w, **base)
+        bench("nostore_s2_b1024", nostore, batch=1024, R=8)
+        bench("store_s2_b1024", store, batch=1024, R=8)
+        bench("store_s2_b1024_rep", store, batch=1024, R=8)
 
 
 if __name__ == "__main__":
