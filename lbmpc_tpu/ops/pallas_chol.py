@@ -29,18 +29,45 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _chol_vmem_need(n2: int, n_p: int, tile: int, blocks: int) -> int:
+    """Scoped-VMEM model for the unblocked chol kernels: `blocks` (n2, T)
+    matrix blocks + (n_p, T) vector blocks, each DOUBLE-buffered by Mosaic,
+    PLUS one (n2, T) stack allocation — the kernels hold the whole factor as
+    live values (measured on-chip: nz_p=104/tile 256 chol_solve allocates
+    28.10M = 22.2M dbuf + 5.5M... the r4 first-cut model without the stack
+    term under-granted by 2.57M and Mosaic OOMed 'on stack')."""
+    return (blocks * 2 * (n2 + 2 * n_p) + n2) * tile * 4
+
+
+def _vlim_raise(n2: int, n_p: int, tile: int, blocks: int) -> int:
+    """vmem_limit_bytes grant: need + 6M headroom when the 16M default is
+    insufficient, else 0 (small nz — leave the compiler's default policy
+    alone). This is the r4 mechanism that unlocks both factor reuse AND
+    tile 256 at the DMS nz_p=104 shape (the unrolled recurrences are
+    per-grid-step issue-bound: wider tiles halve the sequential op
+    issues per batch)."""
+    need = _chol_vmem_need(n2, n_p, tile, blocks)
+    return need + (6 << 20) if need > (14 << 20) else 0
+
+
 def _tile_cap(n_p: int, tile: int, blocks: int) -> int:
     """Largest power-of-two tile <= `tile` whose (n_p^2, T) VMEM blocks fit.
 
     `blocks` counts the (n2, T) f32 blocks resident per grid step (factor
-    kernel: M in + L out = 2; resolve: L in = 1); Mosaic double-buffers each,
-    and the 16M scoped-VMEM limit is hard (measured: nz_p=104 at tile 512
-    OOMs 42.7M — the DMS flagship shape, r4). Halving preserves
-    divisibility of the caller-padded batch."""
+    kernel: M in + L out = 2; resolve: L in = 1); Mosaic double-buffers
+    each, plus the live-factor stack (_chol_vmem_need). Measured NEGATIVE
+    (r4, v5e, DMS nz_p=104 b1024): widening to tile 256 via a raised
+    vmem_limit grant is SLOWER on both paths (nostore 58.0, store 62.7-63.7
+    vs 51.9-52.6 ms/step at tile 128) — a (104, 256) vector op costs two
+    issue slots anyway, so wide tiles buy no issue-depth and cost
+    double-buffering overlap. Keep the largest tile that fits the DEFAULT
+    scoped limit; at the 128-lane floor the kernels raise vmem_limit_bytes
+    to _vlim_raise instead (how the factor-store path runs at nz_p=104).
+    Halving preserves divisibility of the caller-padded batch."""
     budget = 14 * 1024 * 1024
     t = tile
     # Pallas TPU requires lane blocks divisible by 128 -> floor at 128
-    while t > 128 and blocks * 2 * (n_p * n_p * t * 4) > budget:
+    while t > 128 and _chol_vmem_need(n_p * n_p, n_p, t, blocks) > budget:
         t //= 2
     return t
 
@@ -52,14 +79,15 @@ def factor_store_feasible(n: int, tile: int = 512) -> bool:
     shape); _factor_solve_call now RAISES vmem_limit_bytes when the
     double-buffered M-in + L-out blocks need it (22.4M at nz_p=104/tile 128
     — the same mechanism the blocked kernel already uses at 24M), which
-    extends factor reuse to the DMS flagship. The gate here is the raised
-    budget (48M, ~3.4x headroom under the 128M physical VMEM); set
-    LBMPC_CHOL_STORE=0 to force the refactor-per-solve path for A/Bs."""
+    extends factor reuse to the DMS flagship. The gate is _chol_vmem_need
+    at the 128-lane floor against the raised 60M budget (~2x headroom under
+    the 128M physical VMEM); set LBMPC_CHOL_STORE=0 to force the
+    refactor-per-solve path for A/Bs."""
     import os
     if os.environ.get("LBMPC_CHOL_STORE") == "0":
         return False
     n_p = _round_up(n, 8)
-    return 2 * 2 * (n_p * n_p * 128 * 4) <= 48 * 1024 * 1024
+    return _chol_vmem_need(n_p * n_p, n_p, 128, 2) <= 60 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -127,14 +155,7 @@ def _factor_solve_call(M_t, b_t, n_p, tile, interpret):
                          memory_space=pltpu.VMEM),
         ]
         operands += [T8, B8]
-    # Scoped-VMEM need: (M in + L out) + (b in + x out), each double-buffered
-    # by Mosaic. Above the 16M default (nz_p >= ~76: 22.4M at nz_p=104/tile
-    # 128) grant exactly what the blocks need + 4M headroom — the mechanism
-    # that puts the DMS flagship on the factor-reuse path (r4; v5e physical
-    # VMEM is 128M).
-    need = 2 * 2 * (n2 + n_p) * tile * 4
-    vlim = max(24 << 20 if blocked else 0,
-               need + (4 << 20) if need > (14 << 20) else 0)
+    vlim = max(24 << 20 if blocked else 0, _vlim_raise(n2, n_p, tile, 2))
     return pl.pallas_call(
         kernel_blocked if blocked else kernel,
         grid=(B // tile,),
@@ -209,9 +230,12 @@ def _solve_call(M_t, b_t, n_p, tile, interpret):
                     else _tri_upper_t(Ls, y, n_p))
 
     if not blocked:
+        vlim = _vlim_raise(n2, n_p, tile, 1)
         return pl.pallas_call(
             kernel,
             grid=(B // tile,),
+            compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vlim)
+                             if vlim else None),
             in_specs=[
                 pl.BlockSpec((n2, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -276,9 +300,12 @@ def _resolve_call(L_t, b_t, n_p, tile, interpret):
         x_out[:] = (_tri_upper_red(col, y, n_p) if n_p >= 32
                     else _tri_upper_t([col(j) for j in range(n_p)], y, n_p))
 
+    vlim = _vlim_raise(n2, n_p, tile, 1)
     return pl.pallas_call(
         kernel,
         grid=(B // tile,),
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vlim)
+                         if vlim else None),
         in_specs=[
             pl.BlockSpec((n2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_p, tile), lambda i: (0, i), memory_space=pltpu.VMEM),

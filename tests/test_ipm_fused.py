@@ -27,6 +27,60 @@ def test_pallas_chol_kernels_match_numpy():
     np.testing.assert_allclose(np.asarray(x2), x2_ref, atol=2e-3)
 
 
+def test_chol_vmem_grant_and_tile_caps():
+    """r4 raised-scoped-VMEM mechanism (ops/pallas_chol.py): at the DMS
+    flagship shape (nz=101 -> n_p=104) the factor-store path must be
+    feasible AT TILE 128 — the on-chip A/B (scripts/bench_dms_flagship.py
+    cholstore) measured tile 128 fastest (51.9 ms/step; tile 256 was the
+    recorded negative: 58-64 ms) — and the grants must stay well under the
+    128M physical VMEM. Small shapes (fmincon nz=24) must be untouched:
+    default 16M limit, no grant."""
+    from lbmpc_tpu.ops.pallas_chol import (_tile_cap, _vlim_raise,
+                                           factor_store_feasible)
+    assert factor_store_feasible(101)
+    n_p = 104
+    assert _tile_cap(n_p, 256, 2) == 128          # factor: M in + L out
+    assert _tile_cap(n_p, 256, 1) == 128          # solve/resolve: one block
+    for blocks in (1, 2):
+        v = _vlim_raise(n_p * n_p, n_p, 128, blocks)
+        assert 16 * 2**20 < v < 64 * 2**20, v
+    # fmincon shape: within the default limit, no grant, full tile
+    assert _tile_cap(24, 512, 2) == 512
+    assert _vlim_raise(24 * 24, 24, 512, 2) == 0
+    # env escape for A/Bs
+    import os
+    os.environ["LBMPC_CHOL_STORE"] = "0"
+    try:
+        assert not factor_store_feasible(101)
+    finally:
+        del os.environ["LBMPC_CHOL_STORE"]
+
+
+def test_chol_store_matches_refactor_large_nz():
+    """Factor-store (chol_factor_solve + chol_resolve) == refactor
+    (chol_solve) at a shape ABOVE the old 14M feasibility cut, interpret
+    mode. Guards the r4 default flip at the DMS shape class (n here is
+    kept moderate so the unrolled-kernel trace stays CI-cheap)."""
+    from lbmpc_tpu.ops.pallas_chol import chol_solve
+    rng = np.random.default_rng(1)
+    B, n = 256, 77  # n_p=80: blocks=2 need 26.2M > 14M -> raised-grant path
+    A = rng.standard_normal((B, n, n))
+    M = (A @ np.swapaxes(A, 1, 2) + n * np.eye(n)).astype(np.float32)
+    b = rng.standard_normal((B, n)).astype(np.float32)
+    b2 = rng.standard_normal((B, n)).astype(np.float32)
+    L_flat, x = chol_factor_solve(jnp.asarray(M), jnp.asarray(b), tile=128,
+                                  interpret=True)
+    x2 = chol_resolve(L_flat, jnp.asarray(b2), n, tile=128, interpret=True)
+    xr = chol_solve(jnp.asarray(M), jnp.asarray(b), tile=128, interpret=True)
+    x2r = chol_solve(jnp.asarray(M), jnp.asarray(b2), tile=128, interpret=True)
+    # same math either route; interpret-mode XLA:CPU may contract the two
+    # kernels' identical sequences with different FMA fusion -> ~1e-9 noise
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xr), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x2r), atol=1e-7)
+    ref = np.linalg.solve(M.astype(np.float64), b.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), ref, atol=2e-3)
+
+
 def test_fused_batch_ipm_matches_reference():
     from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
     from lbmpc_tpu.models.mgcm import mgcm_dlti
