@@ -99,9 +99,14 @@ def make_lbmpc_solver_fused(
             if key not in gn_cache:
                 from lbmpc_tpu.ops.pallas_gn import build_pallas_gn_kernel
 
-                # measured scoped-VMEM ceilings (16M limit): the GN kernel
-                # OOMs at tile 512 (~18M), the mono kernel at 256 (19.3M)
-                t_cap = min(tile, 256 if iters is None else 128)
+                # default tile ceilings from the 16M-limit measurements (GN
+                # OOMed at 512 ~18M, mono at 256 at 19.3M); the kernels now
+                # RAISE vmem_limit_bytes past those points (pallas_gn
+                # _vmem_grant), so larger tiles are A/B-able via env
+                import os
+                gn_cap = int(os.environ.get("LBMPC_GN_TILE", "256"))
+                mono_cap = int(os.environ.get("LBMPC_MONO_TILE", "128"))
+                t_cap = min(tile, gn_cap if iters is None else mono_cap)
                 with jax.ensure_compile_time_eval():
                     gn_cache[key] = build_pallas_gn_kernel(
                         qp, A, B, Ks, w, delta=delta, bandwidth=bandwidth,

@@ -39,15 +39,29 @@ def _chol_vmem_need(n2: int, n_p: int, tile: int, blocks: int) -> int:
     return (blocks * 2 * (n2 + 2 * n_p) + n2) * tile * 4
 
 
+_VMEM_BUDGET = 60 * 1024 * 1024  # grant ceiling, ~2x headroom under 128M physical
+
+
 def _vlim_raise(n2: int, n_p: int, tile: int, blocks: int) -> int:
     """vmem_limit_bytes grant: need + 6M headroom when the 16M default is
     insufficient, else 0 (small nz — leave the compiler's default policy
     alone). This is the r4 mechanism that unlocks both factor reuse AND
     tile 256 at the DMS nz_p=104 shape (the unrolled recurrences are
     per-grid-step issue-bound: wider tiles halve the sequential op
-    issues per batch)."""
+    issues per batch). Grants are capped at the same 60M budget the
+    factor-store gate uses — a shape that needs more is infeasible on
+    this path and must fail loudly, not over-grant past physical VMEM."""
     need = _chol_vmem_need(n2, n_p, tile, blocks)
-    return need + (6 << 20) if need > (14 << 20) else 0
+    if need <= (14 << 20):
+        return 0
+    grant = need + (6 << 20)
+    if grant > _VMEM_BUDGET:
+        raise ValueError(
+            f"chol kernel scoped-VMEM need {need / 2**20:.1f}M "
+            f"(n_p={n_p}, tile={tile}, blocks={blocks}) exceeds the "
+            f"{_VMEM_BUDGET >> 20}M grant budget; shape infeasible on this "
+            "path — shrink the problem or use the XLA fallback")
+    return grant
 
 
 def _tile_cap(n_p: int, tile: int, blocks: int) -> int:
@@ -72,22 +86,24 @@ def _tile_cap(n_p: int, tile: int, blocks: int) -> int:
     return t
 
 
-def factor_store_feasible(n: int, tile: int = 512) -> bool:
+def factor_store_feasible(n: int) -> bool:
     """True when the factor-storing kernel (chol_factor_solve + chol_resolve)
-    fits scoped VMEM at some lane tile >= 128. Under the DEFAULT 16M scoped
+    fits scoped VMEM at the 128-lane floor tile (feasibility is evaluated at
+    the floor: larger tiles only need MORE VMEM, and the kernels halve the
+    tile toward 128 anyway via _tile_cap). Under the DEFAULT 16M scoped
     limit that holds only for nz_p < ~76 (measured OOM at the DMS nz_p=104
-    shape); _factor_solve_call now RAISES vmem_limit_bytes when the
-    double-buffered M-in + L-out blocks need it (22.4M at nz_p=104/tile 128
-    — the same mechanism the blocked kernel already uses at 24M), which
-    extends factor reuse to the DMS flagship. The gate is _chol_vmem_need
-    at the 128-lane floor against the raised 60M budget (~2x headroom under
-    the 128M physical VMEM); set LBMPC_CHOL_STORE=0 to force the
-    refactor-per-solve path for A/Bs."""
+    shape); _factor_solve_call RAISES vmem_limit_bytes when the
+    double-buffered M-in + L-out blocks need it (26.8M per _chol_vmem_need
+    at nz_p=104/tile 128 — the same mechanism the blocked kernel already
+    uses at 24M), which extends factor reuse to the DMS flagship. The gate
+    is _chol_vmem_need at the 128-lane floor against the raised 60M budget
+    (~2x headroom under the 128M physical VMEM); set LBMPC_CHOL_STORE=0 to
+    force the refactor-per-solve path for A/Bs."""
     import os
     if os.environ.get("LBMPC_CHOL_STORE") == "0":
         return False
     n_p = _round_up(n, 8)
-    return _chol_vmem_need(n_p * n_p, n_p, 128, 2) <= 60 * 1024 * 1024
+    return _chol_vmem_need(n_p * n_p, n_p, 128, 2) <= _VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

@@ -161,6 +161,36 @@ def build_pallas_gn_kernel(
         ipm_dcap = float(ipm.get("d_cap", 1e6))
         ipm_tau = float(ipm.get("tau", 0.995))
 
+    def _vmem_grant() -> int:
+        """vmem_limit_bytes for this kernel, 0 when the default 16M scoped
+        policy suffices. Resident-element model (window blocks, oracle
+        intermediates, sensitivities, residual rows, H columns — for the
+        plain kernel 3 n2 T covers H_out's double buffer + the live Hcols;
+        for the fused-IPM kernel the same term covers Hfull + Mcols + Ls at
+        peak) with a x2.7 liveness calibration anchored on the EXACT
+        Mosaic-measured point at the mono kernel's N=20/q=100/tile-256
+        shape (16.40M scoped reported vs model 16.6M; the r5 first-cut
+        x2.1 modeled 12.9M there, missed the 14M trigger, and reproduced
+        the OOM). The plain GN kernel's r3 tile-512 OOM (~18M reported)
+        models at 23.5M — a 30% overshoot, harmless under the 60M budget.
+        Grant = need + 6M, the ops/pallas_chol._vlim_raise mechanism.
+        Default tiles (GN 256 / mono 128 at the N=20 flagship shape) model
+        under 14M -> grant 0, unchanged behavior."""
+        el = (2 * (d_in + d_out) * q_p + 8 * q_p + n * nz_p + 2 * ne_p
+              + 3 * nz_p * nz_p) * T
+        if ipm is not None:
+            el += 6 * mI_p * T + 2 * nz_p * mI_p + mI_p * 128
+        need = int(2.7 * el * 4)
+        if need <= (14 << 20):
+            return 0
+        grant = need + (6 << 20)
+        if grant > (60 << 20):
+            raise ValueError(
+                f"pallas GN kernel scoped-VMEM need {need / 2**20:.1f}M "
+                f"(nz_p={nz_p}, q_p={q_p}, tile={T}, ipm={ipm is not None}) "
+                "exceeds the 60M grant budget; shrink the tile")
+        return grant
+
     def kernel(z_ref, dx_ref_, Xw_ref, Yw_ref, val_ref, C_ref, e_out, H_out,
                g_out):
         with jax.enable_x64(False):
@@ -497,10 +527,14 @@ def build_pallas_gn_kernel(
                 pl.BlockSpec((nz_p, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ]
+            vlim = _vmem_grant()
+            cparams = (pltpu.CompilerParams(vmem_limit_bytes=vlim)
+                       if vlim else None)
             if ipm is not None:
                 e_t, d_t, mu_t, g_t = pl.pallas_call(
                     kernel_ipm,
                     grid=(Bp // T,),
+                    compiler_params=cparams,
                     in_specs=base_specs + [
                         pl.BlockSpec((nz_p, mI_p), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
@@ -529,6 +563,7 @@ def build_pallas_gn_kernel(
             e_t, H_pk, g_t = pl.pallas_call(
                 kernel,
                 grid=(Bp // T,),
+                compiler_params=cparams,
                 in_specs=base_specs,
                 out_specs=[
                     lane_spec(ne_p),

@@ -38,6 +38,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_VMEM_BUDGET = 60 << 20  # grant ceiling (~2x headroom under 128M physical)
+
+
+def _qp_vmem_grant(nz_p: int, mD_p: int, mS_p: int, T: int) -> int:
+    """vmem_limit_bytes for the packed-H Mehrotra kernel, 0 when the default
+    16M scoped policy suffices. Model: the H-block double buffer plus the
+    live Mcols/Ls column lists across the factorization (~3 n2 T elements
+    total), the constraint-space vector set (~6 rows of (mQ, T)), and the
+    G/GT constants. Anchored on the Mosaic-measured point at the DMS shape
+    (nz_p=104, T=128, mI_p=1024): model 20.2M vs 19.6M reported — the r4
+    'VMEM-infeasible at the 128-lane minimum' negative, which this grant
+    (need + 6M, same mechanism as ops/pallas_chol._vlim_raise) converts
+    into a feasible configuration. The fmincon headline shape (nz_p=24,
+    T=256) models at 6.6M -> grant 0, unchanged behavior."""
+    n2 = nz_p * nz_p
+    mQ = mD_p + mS_p
+    need = (3 * n2 + 4 * nz_p + 6 * mQ) * T * 4 \
+        + (2 * nz_p * mD_p + mS_p * 128) * 4
+    if need <= (14 << 20):
+        return 0
+    grant = need + (6 << 20)
+    if grant > _VMEM_BUDGET:
+        raise ValueError(
+            f"pallas IPM kernel scoped-VMEM need {need / 2**20:.1f}M "
+            f"(nz_p={nz_p}, tile={T}) exceeds the {_VMEM_BUDGET >> 20}M "
+            "grant budget; use the XLA-composed backend at this shape")
+    return grant
+
+
 def build_pallas_qp_solver_h(
     G: np.ndarray,
     iters: int = 16,
@@ -97,11 +126,28 @@ def build_pallas_qp_solver_h(
         ca = cb = 0
         sp_rows = []
     d_rows = [i for i in range(mI) if i not in set(sp_rows)]
+    # r5 causal-suffix assembly: sort the dense rows by max-nonzero column.
+    # Column j of G' diag(d) G only receives rows whose support reaches j
+    # (support ⊆ [0, maxcol]), and after the sort those rows form a SUFFIX —
+    # the per-column KKT matmul contracts over G rows [lo_j:] instead of all
+    # of them (lo_j rounded down to the 128-lane alignment Mosaic requires).
+    # Exact math, not an approximation: the skipped rows are structural
+    # zeros in column j. Measured structure (DMS N=100: ratio 0.56 of the
+    # dense MACs; the reference's casadi stack exposes the same causality —
+    # state row k touches controls 0..k-1 only, DMS_LBMPC_casadi.m:252-315).
+    maxc = {i: (int(supports[i][-1]) if len(supports[i]) else 0)
+            for i in d_rows}
+    d_rows = sorted(d_rows, key=lambda i: maxc[i])
     mD, mS = len(d_rows), len(sp_rows)
     mD_p = _round_up(max(mD, 1), 128)
     mS_p = _round_up(mS, 128) if mS else 0
     mT_p = mD_p + mS_p
     perm = np.asarray(d_rows + sp_rows, np.int64)
+    maxc_sorted = np.asarray([maxc[i] for i in d_rows], np.int64)
+    # lo128[j]: first (128-aligned) dense row index contributing to column j;
+    # padded rows (>= mD) sit past every suffix start and multiply zeros.
+    lo128 = [int(np.searchsorted(maxc_sorted, j)) // 128 * 128
+             for j in range(nz)]
 
     Gp = np.zeros((mD_p, nz_p), np.float32)
     Gp[:mD, :nz] = Gn[d_rows]
@@ -237,10 +283,18 @@ def build_pallas_qp_solver_h(
 
             # KKT normal matrix per column + ridge, then Jacobi equilibration
             # (ipm_fused `scale=True`: unit diagonal restores the digits the
-            # d-weighted diagonal's dynamic range costs in f32)
+            # d-weighted diagonal's dynamic range costs in f32). Causal
+            # suffix: column j contracts over dense rows [lo128[j]:] only
+            # (the rest are structural zeros — see the builder note); padded
+            # columns (j >= nz) have zero G columns and skip the matmul.
             Mcols = []
             for j in range(nz_p):
-                Mj = mxu_m(GTm, d * Gm[:, j:j + 1]) + Hcols[j]
+                if j >= nz:
+                    Mj = jnp.broadcast_to(Hcols[j], (nz_p, T)) + 0.0
+                else:
+                    lo = lo128[j]
+                    Mj = mxu_m(GTm[:, lo:],
+                               d[lo:, :] * Gm[lo:, j:j + 1]) + Hcols[j]
                 Mj = Mj + jnp.where(rows_n == j, 1e-6, 0.0)
                 if mS and j == ca:
                     Mj = (Mj + jnp.where(rows_n == ca, saa, 0.0)
@@ -388,9 +442,12 @@ def build_pallas_qp_solver_h(
             operands += [SP_j, h_sp[0]]
             scratch += [pltpu.VMEM((mS_p, T), jnp.float32),
                         pltpu.VMEM((mS_p, T), jnp.float32)]
+        vlim = _qp_vmem_grant(nz_p, mD_p, mS_p, T)
         x_t, mu_t = pl.pallas_call(
             kernel,
             grid=(Bp // T,),
+            compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vlim)
+                             if vlim else None),
             in_specs=in_specs,
             out_specs=[lane(nz_p), lane(1)],
             out_shape=[

@@ -152,16 +152,23 @@ def main():
             tighten_first_step=cfg.ocp.tighten_first_step, dtype=f32, **kw)
         bench("sparse_s2i16", jax.vmap(vm), batch=1024, R=4)
     elif mode == "pallas":
+        # r5: the full-Pallas Mehrotra kernel at the DMS shape was the r4
+        # 'VMEM-infeasible at the 128-lane minimum (19.6M vs 16M)' negative;
+        # ops/pallas_ipm._qp_vmem_grant now raises the scoped limit (25.9M
+        # grant at nz_p=104/T=128). XLA GN + in-VMEM IPM loop. Caveat the
+        # A/B must price in: the kernel's KKT assembly is DENSE over all
+        # mI rows (the XLA path's structured assembly skips ~2/3 of the
+        # MACs), so this trades assembly FLOPs for zero M traffic.
         for tile in (128,):
             bench(f"fused_pallas_t{tile}_s2", make_lbmpc_solver_fused(
                 qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2, ipm_iters=(16, 8),
                 qp_kernel="pallas", tile=tile,
-                alphas=((1.0,), (1.0, 0.5, 0.25)), **kw), batch=512, R=8)
+                alphas=((1.0,), (1.0, 0.5, 0.25)), **kw), batch=1024, R=8)
     elif mode == "pfull":
         bench("pfull_t128_s2", make_lbmpc_solver_fused(
             qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2, ipm_iters=(16, 8),
             qp_kernel="pallas_full", tile=128,
-            alphas=((1.0,), (1.0, 0.5, 0.25)), **kw), batch=512, R=8)
+            alphas=((1.0,), (1.0, 0.5, 0.25)), **kw), batch=1024, R=8)
     elif mode == "cholstore":
         # r5 lever 1 (docs/ROADMAP.md): factor reuse at the DMS shape.
         # LBMPC_CHOL_STORE=0 -> refactor-per-solve (2 factorizations/IPM
@@ -172,9 +179,16 @@ def main():
         import os
         base = dict(sqp_iters=2, ipm_iters=(16, 8), tile=256,
                     alphas=((1.0,), (1.0, 0.5, 0.25)), **kw)
+        prev = os.environ.get("LBMPC_CHOL_STORE")
         os.environ["LBMPC_CHOL_STORE"] = "0"
-        nostore = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w, **base)
-        del os.environ["LBMPC_CHOL_STORE"]
+        try:
+            nostore = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                              **base)
+        finally:
+            if prev is None:
+                del os.environ["LBMPC_CHOL_STORE"]
+            else:
+                os.environ["LBMPC_CHOL_STORE"] = prev
         store = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w, **base)
         bench("nostore_s2_b1024", nostore, batch=1024, R=8)
         bench("store_s2_b1024", store, batch=1024, R=8)

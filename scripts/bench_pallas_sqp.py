@@ -170,6 +170,47 @@ def main():
             ipm_iters=(16, 8), repair_frac=24.0 / batch, repair_sqp_iters=1,
             repair_ipm_iters=8, repair_warm="fused", repair_backend="fused",
             **base128))
+    elif mode == "mono256":
+        # r5: the mono kernel at tile 256 via pallas_gn's scoped-VMEM grant
+        # (VERDICT r3 item 2b — the r3/r4 mono negative was measured at its
+        # then-16M-feasible tile 128; 256 OOMed at 19.3M and is now granted
+        # 26.3M). A/B vs the production two-launch pfull at the same tile.
+        import os
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        base = dict(kw, alphas=al)
+        base.pop("ipm_iters")
+        bench("pfull_i16_8_t256", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full",
+            ipm_iters=(16, 8), tile=256, **base))
+        prev = os.environ.get("LBMPC_MONO_TILE")
+        os.environ["LBMPC_MONO_TILE"] = "256"
+        try:
+            bench("mono_i16_8_t256", make_lbmpc_solver_fused(
+                qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_mono",
+                ipm_iters=(16, 8), tile=256, **base))
+        finally:
+            if prev is None:
+                del os.environ["LBMPC_MONO_TILE"]
+            else:
+                os.environ["LBMPC_MONO_TILE"] = prev
+    elif mode == "gn512":
+        # r5: GN kernel at tile 512 via the grant (r3 negative was an OOM
+        # at ~18M under the 16M default, never a timing)
+        import os
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        base = dict(kw, alphas=al)
+        base.pop("ipm_iters")
+        prev = os.environ.get("LBMPC_GN_TILE")
+        os.environ["LBMPC_GN_TILE"] = "512"
+        try:
+            bench("pfull_i16_8_gn512", make_lbmpc_solver_fused(
+                qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full",
+                ipm_iters=(16, 8), tile=256, **base))
+        finally:
+            if prev is None:
+                del os.environ["LBMPC_GN_TILE"]
+            else:
+                os.environ["LBMPC_GN_TILE"] = prev
     elif mode == "ipm":
         # per-GN IPM budgets: the warm second QP may need fewer iterations
         al = ((1.0,), (1.0, 0.5, 0.25))

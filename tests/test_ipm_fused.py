@@ -63,7 +63,7 @@ def test_chol_store_matches_refactor_large_nz():
     kept moderate so the unrolled-kernel trace stays CI-cheap)."""
     from lbmpc_tpu.ops.pallas_chol import chol_solve
     rng = np.random.default_rng(1)
-    B, n = 256, 77  # n_p=80: blocks=2 need 26.2M > 14M -> raised-grant path
+    B, n = 256, 77  # n_p=80: blocks=2 need 15.9M > 14M -> raised-grant path
     A = rng.standard_normal((B, n, n))
     M = (A @ np.swapaxes(A, 1, 2) + n * np.eye(n)).astype(np.float32)
     b = rng.standard_normal((B, n)).astype(np.float32)
