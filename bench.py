@@ -257,10 +257,17 @@ def main():
     # ---- DMS flagship (N=100, q=100, casadi family) — VERDICT r4 item 1:
     # the reference's flagship formulation (DMS_LBMPC_casadi.m:122-130) on
     # the fast path, driver-captured. Fused batch SQP (s2, IPM (16,8)) with
-    # the XLA+pallas_chol backend — the measured winner at nz=101 (the
-    # full-Pallas QP kernel is VMEM-infeasible at the 128-lane minimum
-    # there, and XLA's batched Cholesky measured 10x slower; see
-    # scripts/bench_dms_flagship.py sweeps).
+    # qp_kernel="pallas_full": the N=100 Pallas GN kernel handing packed H
+    # to the full-Pallas Mehrotra kernel, made feasible at nz_p=104 by the
+    # r5 scoped-VMEM grants (the r4 'VMEM-infeasible at the 128-lane
+    # minimum' barrier was the default 16M policy, not the hardware) and
+    # the causal-suffix KKT assembly. Measured r5 ladder
+    # (scripts/bench_dms_flagship.py, b1024, conv 1.0 throughout):
+    # 52.5 ms/step XLA+pallas_chol (r4 production) -> 36.4 qp_kernel=
+    # "pallas" -> 22.7 pallas_full (45.1k solves/s, 2.31x r4). Accuracy:
+    # scripts/accuracy_audit_dms.py pallas-vs-XLA backend c0 p50 4.4e-6 /
+    # max 1.2e-2 (the documented hard-lane class), identical spread vs the
+    # vmapped reference.
     from lbmpc_tpu.controllers.condensed import build_casadi_dms
 
     def _guarded(fn, label):
@@ -293,7 +300,7 @@ def main():
             dms_qp, dms_sc.A, dms_sc.B, dms_sc.ocp.Ks, dms_w, family="casadi",
             delta=dms_cfg.plant.ts, bandwidth=dms_cfg.oracle.bandwidth,
             ridge=dms_cfg.oracle.ridge, dx_ref=np.asarray(dms_cfg.dx_ref),
-            sqp_iters=2, ipm_iters=(16, 8), tile=256,
+            sqp_iters=2, ipm_iters=(16, 8), qp_kernel="pallas_full", tile=128,
             alphas=((1.0,), (1.0, 0.5, 0.25)))
         dms_B, dms_R = 1024, 8
         dms_run = make_scan(dms_solve, dms_R)

@@ -81,6 +81,18 @@ def make_lbmpc_solver_fused(
     h0d = jnp.asarray(qp.h0, f32)
     Hpd = jnp.asarray(qp.Hp, f32)
     gn_cache: dict = {}
+    import os as _os
+
+    # Tile knobs (defaults = the r3-measured sweet spots at the N=20 shape;
+    # the kernels now raise their own scoped-VMEM grants, so larger tiles
+    # are A/B-able). The pallas_full GN->QP handoff is tile-blocked packed
+    # H, so BOTH kernels must share one lane tile there — r5 measured: a
+    # GN-512/QP-256 mismatch silently deinterleaves H (conv 0.0).
+    _gn_cap = int(_os.environ.get("LBMPC_GN_TILE", "256"))
+    _mono_cap = int(_os.environ.get("LBMPC_MONO_TILE", "128"))
+    _qp_cap = int(_os.environ.get("LBMPC_QP_TILE", "256"))
+    _pf_tile = min(tile, _gn_cap, _qp_cap)
+
     if qp_kernel in ("pallas_full", "pallas_mono"):
         if family not in ("fmincon", "casadi") or qp.m != 1:
             raise ValueError(f"qp_kernel={qp_kernel!r} covers the m=1 "
@@ -99,14 +111,7 @@ def make_lbmpc_solver_fused(
             if key not in gn_cache:
                 from lbmpc_tpu.ops.pallas_gn import build_pallas_gn_kernel
 
-                # default tile ceilings from the 16M-limit measurements (GN
-                # OOMed at 512 ~18M, mono at 256 at 19.3M); the kernels now
-                # RAISE vmem_limit_bytes past those points (pallas_gn
-                # _vmem_grant), so larger tiles are A/B-able via env
-                import os
-                gn_cap = int(os.environ.get("LBMPC_GN_TILE", "256"))
-                mono_cap = int(os.environ.get("LBMPC_MONO_TILE", "128"))
-                t_cap = min(tile, gn_cap if iters is None else mono_cap)
+                t_cap = _pf_tile if iters is None else min(tile, _mono_cap)
                 with jax.ensure_compile_time_eval():
                     gn_cache[key] = build_pallas_gn_kernel(
                         qp, A, B, Ks, w, delta=delta, bandwidth=bandwidth,
@@ -132,9 +137,12 @@ def make_lbmpc_solver_fused(
         # LBMPC_MCOLS_BF16=1: KKT-assembly matmuls in bf16 with f32
         # accumulation (1 MXU pass vs f32-HIGHEST's 6) — A/B knob, gated on
         # the accuracy audit before any promotion
+        # "pallas" (XLA GN) has no packed handoff -> QP tile independent;
+        # "pallas_full" shares _pf_tile with the GN kernel (see knob note)
+        _qp_tile = min(tile, _qp_cap) if qp_kernel == "pallas" else _pf_tile
         pallas_raws = {
             it: build_pallas_qp_solver_h(
-                qp.G, iters=it, tile=min(tile, 256), d_cap=d_cap,
+                qp.G, iters=it, tile=_qp_tile, d_cap=d_cap,
                 interpret=interpret,
                 mcols_bf16=os.environ.get("LBMPC_MCOLS_BF16") == "1")
             for it in set(ipm_sched)}
@@ -271,6 +279,10 @@ def make_lbmpc_solver_fused(
     solve_batch.raw = _solve
     solve_batch._res_b = res_b            # test hooks: batched residual and
     solve_batch._resjac_b = resjac_b      # residual+Jacobian (jac_mode path)
+    solve_batch._pf_tile = _pf_tile       # shared pallas_full handoff tile
+    solve_batch._gn_raw_for = (gn_raw_for
+                               if qp_kernel in ("pallas_full", "pallas_mono")
+                               else None)
     return solve_batch
 
 

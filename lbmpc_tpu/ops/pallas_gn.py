@@ -146,16 +146,29 @@ def build_pallas_gn_kernel(
     if ipm is not None:
         mI = qp.G.shape[0]
         mI_p = _round_up(mI, 128)
+        Gn_f = np.asarray(qp.G, np.float32)
+        # causal-suffix assembly (r5, same trick as ops/pallas_ipm): rows
+        # sorted by max-nonzero column so KKT column j contracts over the
+        # 128-aligned suffix of rows that can touch it — skipped rows are
+        # structural zeros (exact). h0/Hp rows permute consistently; all
+        # in-kernel row-space state lives in the permuted order, and the
+        # outputs (d, mu) are row-order invariant.
+        _mxcol = [int(np.nonzero(Gn_f[i])[0][-1]) if Gn_f[i].any() else 0
+                  for i in range(mI)]
+        _order = sorted(range(mI), key=lambda i: _mxcol[i])
+        _mx_sorted = np.asarray([_mxcol[i] for i in _order], np.int64)
+        lo128 = [int(np.searchsorted(_mx_sorted, j)) // 128 * 128
+                 for j in range(nz)]
         Gp = np.zeros((mI_p, nz_p), np.float32)
-        Gp[:mI, :nz] = np.asarray(qp.G, np.float32)
+        Gp[:mI, :nz] = Gn_f[_order]
         GT_j = jnp.asarray(Gp.T.copy())
         Gp_j = jnp.asarray(Gp)
         # second const operand: col 0 = h0 (padded rows BIG so they never
         # activate), cols 1..n = Hp columns
         C2 = np.zeros((mI_p, 128), np.float32)
         C2[:, 0] = 1e6
-        C2[:mI, 0] = np.asarray(qp.h0, np.float32)
-        C2[:mI, 1:1 + n] = np.asarray(qp.Hp, np.float32)
+        C2[:mI, 0] = np.asarray(qp.h0, np.float32)[_order]
+        C2[:mI, 1:1 + n] = np.asarray(qp.Hp, np.float32)[_order]
         C2_j = jnp.asarray(C2)
         ipm_iters = int(ipm["iters"])
         ipm_dcap = float(ipm.get("d_cap", 1e6))
@@ -234,11 +247,16 @@ def build_pallas_gn_kernel(
                 acc = acc + Hfull[j] * x[j:j + 1, :]
             return acc
 
-        def chol_cols(Mcols):
+        def chol_cols(Mcols, sc=None):
+            # sc folds the Jacobi scaling into each column's first touch —
+            # bit-identical to pre-scaling the list, half the peak column
+            # liveness (see ops/pallas_ipm.chol_cols)
             rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
             Ls = []
             for j in range(nz_p):
                 acc = Mcols[j]
+                if sc is not None:
+                    acc = acc * sc * sc[j:j + 1, :]
                 for k in range(j):
                     acc = acc - Ls[k][j:j + 1, :] * Ls[k]
                 djj = jnp.sqrt(jnp.maximum(acc[j:j + 1, :], 1e-30))
@@ -278,9 +296,16 @@ def build_pallas_gn_kernel(
             rp = (Gx + s - h) * act
             s_safe = jnp.maximum(s, 1e-25)
             d = jnp.minimum(z / s_safe, ipm_dcap) * act
+            # causal suffix: column j contracts over sorted rows [lo128[j]:]
+            # only; padded columns (j >= nz) have zero G columns -> no matmul
             Mcols = []
             for j in range(nz_p):
-                Mj = mxu(GTm, d * Gm[:, j:j + 1]) + Hfull[j]
+                if j >= nz:
+                    Mj = Hfull[j]
+                else:
+                    lo = lo128[j]
+                    Mj = mxu(GTm[:, lo:],
+                             d[lo:, :] * Gm[lo:, j:j + 1]) + Hfull[j]
                 # the same per-column ridge the standalone QP kernel adds:
                 # WITHOUT it the padded columns' diagonal is exactly 0 and
                 # the triangular solve hits 0/0 (L[j,j] = 0/1e-15)
@@ -290,8 +315,7 @@ def build_pallas_gn_kernel(
             for j in range(nz_p):
                 dg = dg + jnp.where(rows_n == j, Mcols[j][j:j + 1, :], 0.0)
             sc = jax.lax.rsqrt(jnp.maximum(dg, 1e-30))
-            Ls = chol_cols([Mcols[j] * sc * sc[j:j + 1, :]
-                            for j in range(nz_p)])
+            Ls = chol_cols(Mcols, sc)
 
             def kkt(rc):
                 t = (d * rp - rc / s_safe) * act

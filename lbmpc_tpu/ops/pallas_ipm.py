@@ -43,18 +43,21 @@ _VMEM_BUDGET = 60 << 20  # grant ceiling (~2x headroom under 128M physical)
 
 def _qp_vmem_grant(nz_p: int, mD_p: int, mS_p: int, T: int) -> int:
     """vmem_limit_bytes for the packed-H Mehrotra kernel, 0 when the default
-    16M scoped policy suffices. Model: the H-block double buffer plus the
-    live Mcols/Ls column lists across the factorization (~3 n2 T elements
-    total), the constraint-space vector set (~6 rows of (mQ, T)), and the
-    G/GT constants. Anchored on the Mosaic-measured point at the DMS shape
-    (nz_p=104, T=128, mI_p=1024): model 20.2M vs 19.6M reported — the r4
-    'VMEM-infeasible at the 128-lane minimum' negative, which this grant
-    (need + 6M, same mechanism as ops/pallas_chol._vlim_raise) converts
-    into a feasible configuration. The fmincon headline shape (nz_p=24,
-    T=256) models at 6.6M -> grant 0, unchanged behavior."""
+    16M scoped policy suffices. Per-lane element model FIT on two exact
+    Mosaic stack-OOM reports (r5): the DMS shape (nz_p=104, T=128,
+    mD_p=1024) needed 47.12M and the fmincon shape at tile 512 (nz_p=24,
+    mD_p=256) 16.74M -> need/lane ~= 6.8 n2 + 18 mQ + 4 nz_p (the n2 term
+    covers the H double buffer + the column lists live across the
+    factorization; the mQ term the ~9 double-buffered constraint-space
+    vectors). The model deliberately OVER-estimates after the r5 live-set
+    shrink (H loads deferred through a getter, Jacobi scaling folded into
+    the chol first-touch) — a high limit is safe, a low one is an OOM.
+    Grant = need + 6M (the ops/pallas_chol._vlim_raise mechanism), capped
+    by the 60M budget. The production fmincon shape (nz_p=24, T=256)
+    models at 8.8M -> grant 0, unchanged behavior."""
     n2 = nz_p * nz_p
     mQ = mD_p + mS_p
-    need = (3 * n2 + 4 * nz_p + 6 * mQ) * T * 4 \
+    need = int((6.8 * n2 + 4 * nz_p + 18 * mQ) * T * 4) \
         + (2 * nz_p * mD_p + mS_p * 128) * 4
     if need <= (14 << 20):
         return 0
@@ -199,7 +202,10 @@ def build_pallas_qp_solver_h(
         h = h_ref[:]
         GTm = GT_ref[:]
         Gm = G_ref[:]
-        Hcols = [H_ref[:, j * T:(j + 1) * T] for j in range(nz_p)]
+        # lazy H column getter (r5 live-set shrink): the H block is VMEM-
+        # resident as an input block; re-slicing the ref at each use keeps
+        # at most one column materialized instead of a full nz_p-column list
+        Hcol = lambda j: H_ref[:, j * T:(j + 1) * T]
 
         rows_n = jax.lax.broadcasted_iota(jnp.int32, (nz_p, 1), 0)
         rows_m = jax.lax.broadcasted_iota(jnp.int32, (mD_p, 1), 0)
@@ -213,9 +219,9 @@ def build_pallas_qp_solver_h(
             zs_s[:] = jnp.broadcast_to(act_s, (mS_p, T))
 
         def Hx(x):
-            acc = Hcols[0] * x[0:1, :]
+            acc = Hcol(0) * x[0:1, :]
             for j in range(1, nz_p):
-                acc = acc + Hcols[j] * x[j:j + 1, :]
+                acc = acc + Hcol(j) * x[j:j + 1, :]
             return acc
 
         def Gmul_sp(x):
@@ -228,10 +234,17 @@ def build_pallas_qp_solver_h(
             return (acc + jnp.where(rows_n == ca, ra, 0.0)
                     + jnp.where(rows_n == cb, rb, 0.0))
 
-        def chol_cols(Mcols):
+        def chol_cols(Mcols, sc=None):
+            """Left-looking Cholesky; sc folds the Jacobi equilibration into
+            each column's FIRST touch (bit-identical to pre-scaling the
+            whole list — scaling happens before any use of the column — but
+            Mcols[j] dies as Ls[j] is born, halving peak column liveness;
+            r5 live-set shrink)."""
             Ls = []
             for j in range(nz_p):
                 acc = Mcols[j]
+                if sc is not None:
+                    acc = acc * sc * sc[j:j + 1, :]
                 for k in range(j):
                     acc = acc - Ls[k][j:j + 1, :] * Ls[k]
                 djj = jnp.sqrt(jnp.maximum(acc[j:j + 1, :], 1e-30))
@@ -290,11 +303,11 @@ def build_pallas_qp_solver_h(
             Mcols = []
             for j in range(nz_p):
                 if j >= nz:
-                    Mj = jnp.broadcast_to(Hcols[j], (nz_p, T)) + 0.0
+                    Mj = Hcol(j)
                 else:
                     lo = lo128[j]
                     Mj = mxu_m(GTm[:, lo:],
-                               d[lo:, :] * Gm[lo:, j:j + 1]) + Hcols[j]
+                               d[lo:, :] * Gm[lo:, j:j + 1]) + Hcol(j)
                 Mj = Mj + jnp.where(rows_n == j, 1e-6, 0.0)
                 if mS and j == ca:
                     Mj = (Mj + jnp.where(rows_n == ca, saa, 0.0)
@@ -307,8 +320,7 @@ def build_pallas_qp_solver_h(
             for j in range(nz_p):
                 dg = dg + jnp.where(rows_n == j, Mcols[j][j:j + 1, :], 0.0)
             sc = jax.lax.rsqrt(jnp.maximum(dg, 1e-30))
-            Ls = chol_cols([Mcols[j] * sc * sc[j:j + 1, :]
-                            for j in range(nz_p)])
+            Ls = chol_cols(Mcols, sc)
 
             def kkt(rc, rc2):
                 t = (d * rp - rc / s_safe) * act

@@ -74,8 +74,14 @@ def main():
     cand3 = make_lbmpc_solver_fused(
         qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=3, ipm_iters=(16, 10, 8),
         tile=256, alphas=((1.0,), (1.0, 0.5, 0.25)), **kw)
+    # r5 promoted backend: XLA GN + full-Pallas Mehrotra kernel (the bench
+    # dms_flagship configuration after the +44% A/B)
+    candp = make_lbmpc_solver_fused(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2, ipm_iters=(16, 8),
+        qp_kernel="pallas", tile=128, alphas=((1.0,), (1.0, 0.5, 0.25)), **kw)
 
     zc, cc = cand(dx, wins, z0)
+    zp, cp = candp(dx, wins, z0)
     zr, cr = ref(dx, wins, z0)
     zr2, cr2 = ref2(dx, wins, z0)
     zc3, cc3 = cand3(dx, wins, z0)
@@ -88,12 +94,15 @@ def main():
 
     print(json.dumps(dict(
         cand_s2_vs_ref_s3=stats(zc, zr),
+        cand_pallas_s2_vs_ref_s3=stats(zp, zr),
+        cand_pallas_vs_cand_xla=stats(zp, zc),
         cand_s3_vs_ref_s3=stats(zc3, zr),
         # solver-class noise floor: the reference against a deeper budget of
         # ITSELF — if this is the same order as the candidate error, the
         # spread is the N=100 NLP's conditioning, not under-convergence
         ref_s3_vs_ref_s4=stats(zr, zr2),
         conv=dict(cand_s2=float(np.asarray(cc).mean()),
+                  cand_pallas_s2=float(np.asarray(cp).mean()),
                   cand_s3=float(np.asarray(cc3).mean()),
                   ref_s3=float(np.asarray(cr).mean()),
                   ref_s4=float(np.asarray(cr2).mean())), B=B)), flush=True)

@@ -194,23 +194,28 @@ def main():
             else:
                 os.environ["LBMPC_MONO_TILE"] = prev
     elif mode == "gn512":
-        # r5: GN kernel at tile 512 via the grant (r3 negative was an OOM
-        # at ~18M under the 16M default, never a timing)
+        # r5: pallas_full at a SHARED tile 512 via the VMEM grants (the r3
+        # negatives were OOMs under the 16M default, never timings; the
+        # GN->QP packed handoff requires one tile for both kernels — a
+        # mismatched 512/256 run measured conv 0.0, now prevented by
+        # sqp_fused's shared _pf_tile)
         import os
         al = ((1.0,), (1.0, 0.5, 0.25))
         base = dict(kw, alphas=al)
         base.pop("ipm_iters")
-        prev = os.environ.get("LBMPC_GN_TILE")
-        os.environ["LBMPC_GN_TILE"] = "512"
+        prev = {v: os.environ.get(v) for v in
+                ("LBMPC_GN_TILE", "LBMPC_QP_TILE")}
+        os.environ["LBMPC_GN_TILE"] = os.environ["LBMPC_QP_TILE"] = "512"
         try:
-            bench("pfull_i16_8_gn512", make_lbmpc_solver_fused(
+            bench("pfull_i16_8_t512", make_lbmpc_solver_fused(
                 qp, sc.A, sc.B, sc.ocp.Ks, w, qp_kernel="pallas_full",
-                ipm_iters=(16, 8), tile=256, **base))
+                ipm_iters=(16, 8), tile=512, **base))
         finally:
-            if prev is None:
-                del os.environ["LBMPC_GN_TILE"]
-            else:
-                os.environ["LBMPC_GN_TILE"] = prev
+            for v, p in prev.items():
+                if p is None:
+                    os.environ.pop(v, None)
+                else:
+                    os.environ[v] = p
     elif mode == "ipm":
         # per-GN IPM budgets: the warm second QP may need fewer iterations
         al = ((1.0,), (1.0, 0.5, 0.25))

@@ -18,6 +18,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache (r5): the interpret-mode Pallas kernel tests
+# (mono/pallas_full at N=12) cost multi-minute XLA:CPU compiles; caching
+# makes every suite run after the first pay only execution. Same directory
+# the bench/chip scripts use; entries are keyed by backend + HLO so CPU and
+# TPU artifacts coexist.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import pathlib
 
 import numpy as np

@@ -209,3 +209,42 @@ def test_hybrid_repair_warm_seeded_and_fleet_deferred():
     zf, convf = fleet(dxR, winsR, z0R)
     assert zf.shape == (R, batch, qp.nz)
     assert float(np.asarray(convf).mean()) == 1.0
+
+
+def test_pallas_full_gn_qp_tile_handoff_locked():
+    """r5 regression: the pallas_full GN->QP handoff is tile-blocked packed
+    H, so BOTH kernels must share one lane tile. A GN-512/QP-256 mismatch
+    measured conv 0.0 on chip (silently deinterleaved H); sqp_fused now
+    derives one shared _pf_tile = min(tile, LBMPC_GN_TILE, LBMPC_QP_TILE)
+    and uses it for both builders even when the env knobs disagree."""
+    import os
+
+    A, B, C, _ = mgcm_dlti()
+    ocp = mat_ocp(A, B, C)
+    cs = get_cons_poly(
+        x_min=[0.0, 1.1875, 0.1547, -20.0], x_max=[1.0, 2.1875, 2.1547, 20.0],
+        u_min=0.1547, u_max=2.1547, state_uncert=[0.02, 5e-4, 0, 0],
+        x_wp=[0.5, 1.6875, 1.1547, 0.0], u_wp=1.1547,
+        A=A, B=B, Q=np.eye(4), R=np.eye(1),
+        LAMBDA=ocp.LAMBDA, PSI=ocp.PSI, LAMBDA_0=ocp.LAMBDA_0, PSI_0=ocp.PSI_0,
+    )
+    qp = build_fmincon_lmpc(A, B, ocp.Ks, ocp.Q, ocp.R, ocp.P, ocp.T,
+                            ocp.LAMBDA, ocp.PSI, cs, 12,
+                            terminal_at="first", tighten_first_step=True)
+    w = LBMPCWeights.make(ocp.Q, ocp.R, ocp.P, ocp.T, ocp.LAMBDA, ocp.PSI)
+    prev = {v: os.environ.get(v) for v in ("LBMPC_GN_TILE", "LBMPC_QP_TILE")}
+    os.environ["LBMPC_GN_TILE"] = "512"
+    os.environ["LBMPC_QP_TILE"] = "256"
+    try:
+        s = make_lbmpc_solver_fused(
+            qp, A, B, ocp.Ks, w, qp_kernel="pallas_full", tile=512,
+            sqp_iters=1, ipm_iters=4, interpret=True)
+        assert s._pf_tile == 256
+        gn = s._gn_raw_for(8)           # builds the GN kernel lazily
+        assert gn.tile == s._pf_tile
+    finally:
+        for v, p in prev.items():
+            if p is None:
+                os.environ.pop(v, None)
+            else:
+                os.environ[v] = p
