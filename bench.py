@@ -220,7 +220,14 @@ def main():
                                              program_costs)
 
     ne = (N - 2) * 5 + 4 + 4
-    shape_kw = dict(N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz)
+    # r5: the Pallas kernel's KKT assembly executes suffix-restricted MACs
+    # (plus padding) — scale the analytic kkt term to what the hardware
+    # actually runs so the MFU/roofline is not flattered (or understated)
+    from lbmpc_tpu.ops.pallas_ipm import assembly_mac_ratio
+
+    kkt_ratio = assembly_mac_ratio(np.asarray(qp.G))
+    shape_kw = dict(N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz,
+                    kkt_mac_ratio=kkt_ratio)
     # n_merit=2 / ipm_iters=12: per-GN averages of the asymmetric ladder
     # ((1,), (1,.5,.25)) and IPM schedule (16, 8) — the model's totals are
     # linear in both, so the averages give the exact sums (m0 reuses the

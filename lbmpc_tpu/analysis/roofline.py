@@ -193,7 +193,8 @@ def measure_roofline(jitted, args, call_s: float, solves_per_call: int,
 def fused_sqp_flops_per_solve(N: int, n: int, m: int, q: int, mc: int,
                               ne: int, nz: int, sqp_iters: int,
                               ipm_iters: int, n_merit: int = 6,
-                              d_in: int = 3, d_out: int = 4) -> dict:
+                              d_in: int = 3, d_out: int = 4,
+                              kkt_mac_ratio: float = 1.0) -> dict:
     """Analytic FLOP count per LBMPC SQP solve, by phase.
 
     Needed because XLA's cost model (program_costs) excludes custom-call
@@ -208,7 +209,12 @@ def fused_sqp_flops_per_solve(N: int, n: int, m: int, q: int, mc: int,
     sens = 2 * n * nz * (n + d_in + 2 * m)           # S propagation matmuls
     jac_scan = N * (nw_est + nw_jac + sens)
     gn_terms = 2 * ne * nz * nz + 2 * ne * nz        # H = 2J'J, g = 2J'e
-    kkt_form = 2 * mc * nz * nz + mc * nz            # G'DG + row scaling
+    # kkt_mac_ratio: actual/dense MAC ratio of the executing backend's
+    # assembly (ops/pallas_ipm.assembly_mac_ratio — the r5 causal-suffix
+    # kernel skips structurally-zero row blocks but pays padding; the XLA
+    # path's structured assembly has its own ratio). Keeps the MFU claim
+    # tied to MACs the hardware actually executes.
+    kkt_form = kkt_mac_ratio * 2 * mc * nz * nz + mc * nz   # G'DG + scaling
     chol = nz ** 3 // 3 + 4 * nz * nz                # factor + 2 tri-solves
     ipm_vec = 8 * mc * nz                            # residuals/steplen/etc
     ipm = ipm_iters * (kkt_form + chol + ipm_vec)
@@ -230,7 +236,7 @@ def fused_sqp_flops_per_solve(N: int, n: int, m: int, q: int, mc: int,
 def fused_sqp_op_split(N: int, n: int, m: int, q: int, mc: int, ne: int,
                        nz: int, sqp_iters: int, ipm_iters: int,
                        n_merit: int = 6, d_in: int = 3,
-                       d_out: int = 4) -> dict:
+                       d_out: int = 4, kkt_mac_ratio: float = 1.0) -> dict:
     """Op-class split of fused_sqp_flops_per_solve (VERDICT r2 item 2).
 
     Classifies every term of the analytic FLOP model as MXU-class
@@ -249,7 +255,7 @@ def fused_sqp_op_split(N: int, n: int, m: int, q: int, mc: int, ne: int,
     jac_mxu = N * (nw_sum + sens)
     jac_vpu = N * (nw_elem + nw_jac)
     gn_terms = 2 * ne * nz * nz + 2 * ne * nz   # MXU
-    kkt_mxu = 2 * mc * nz * nz                  # d@W
+    kkt_mxu = kkt_mac_ratio * 2 * mc * nz * nz  # suffix-restricted G'DG
     kkt_vpu = mc * nz                           # row scaling
     chol = nz ** 3 // 3 + 4 * nz * nz           # VPU (in-kernel)
     ipm_vec = 8 * mc * nz                       # VPU

@@ -70,6 +70,68 @@ def _qp_vmem_grant(nz_p: int, mD_p: int, mS_p: int, T: int) -> int:
     return grant
 
 
+def analyze_constraint_rows(G: np.ndarray) -> dict:
+    """Host-side constraint-row analysis shared by the packed-H kernel
+    builder and the roofline FLOP model.
+
+    - Dominant 2-column-support group (>= 64 rows sharing one {ca, cb}
+      support — e.g. the 616-row terminal block touching only {c_0, theta})
+      leaves the MXU operands entirely: its G' diag(d) G contribution is a
+      2x2 corner from three VPU sublane reductions (r4 split-G).
+    - Remaining dense rows sorted by max-nonzero column (r5 causal-suffix):
+      column j of G' diag(d) G only receives rows whose support reaches j
+      (support ⊆ [0, maxcol]), and after the sort those rows form a SUFFIX
+      — the per-column KKT matmul contracts over rows [lo128[j]:] instead
+      of all of them (128-aligned for Mosaic lane slicing). Exact math: the
+      skipped rows are structural zeros in column j. Measured structure:
+      DMS N=100 keeps 0.56 of the dense MACs (the reference's casadi stack
+      exposes the causality — state row k touches controls 0..k-1 only,
+      DMS_LBMPC_casadi.m:252-315).
+    """
+    Gn = np.asarray(G, np.float32)
+    mI, nz = Gn.shape
+    supports = [np.nonzero(Gn[i])[0] for i in range(mI)]
+    groups: dict = {}
+    for i, s in enumerate(supports):
+        if len(s) <= 2 and len(s) > 0:
+            key = (int(s[0]), int(s[-1]))
+            groups.setdefault(key, []).append(i)
+    best = max(groups.items(), key=lambda kv: len(kv[1]), default=None)
+    if best is not None and len(best[1]) >= 64 and best[0][0] != best[0][1]:
+        (ca, cb), sp_rows = best
+        sp_rows = list(sp_rows)
+    else:
+        ca = cb = 0
+        sp_rows = []
+    d_rows = [i for i in range(mI) if i not in set(sp_rows)]
+    maxc = {i: (int(supports[i][-1]) if len(supports[i]) else 0)
+            for i in d_rows}
+    d_rows = sorted(d_rows, key=lambda i: maxc[i])
+    mD, mS = len(d_rows), len(sp_rows)
+    mD_p = _round_up(max(mD, 1), 128)
+    mS_p = _round_up(mS, 128) if mS else 0
+    maxc_sorted = np.asarray([maxc[i] for i in d_rows], np.int64)
+    lo128 = [int(np.searchsorted(maxc_sorted, j)) // 128 * 128
+             for j in range(nz)]
+    return dict(ca=ca, cb=cb, sp_rows=sp_rows, d_rows=d_rows, mD=mD, mS=mS,
+                mD_p=mD_p, mS_p=mS_p, lo128=lo128)
+
+
+def assembly_mac_ratio(G: np.ndarray) -> float:
+    """Actual/dense MAC ratio of the packed-H kernel's per-iteration KKT
+    assembly: the kernel contracts nz_p x (mD_p - lo128[j]) per real column
+    (padded columns skip the matmul; split-group rows cost 3 VPU reductions,
+    counted as 9 mS FLOP-equivalents). Feeds the bench roofline so the
+    analytic MFU is not flattered by MACs the kernel no longer executes."""
+    r = analyze_constraint_rows(G)
+    mI, nz = np.asarray(G).shape
+    nz_p = _round_up(nz, 8)
+    dense = 2.0 * mI * nz * nz
+    actual = sum(2.0 * nz_p * (r["mD_p"] - lo) for lo in r["lo128"]) \
+        + 9.0 * r["mS"]
+    return float(actual / dense)
+
+
 def build_pallas_qp_solver_h(
     G: np.ndarray,
     iters: int = 16,
@@ -113,44 +175,14 @@ def build_pallas_qp_solver_h(
     nz_p = _round_up(nz, 8)
     T = tile
 
-    # ---- host-side row split: dominant 2-column-support group ----
+    rowan = analyze_constraint_rows(G)
+    ca, cb = rowan["ca"], rowan["cb"]
+    sp_rows, d_rows = rowan["sp_rows"], rowan["d_rows"]
+    mD, mS = rowan["mD"], rowan["mS"]
+    mD_p, mS_p = rowan["mD_p"], rowan["mS_p"]
+    lo128 = rowan["lo128"]
     Gn = np.asarray(G, np.float32)
-    supports = [np.nonzero(Gn[i])[0] for i in range(mI)]
-    groups: dict = {}
-    for i, s in enumerate(supports):
-        if len(s) <= 2 and len(s) > 0:
-            key = (int(s[0]), int(s[-1]))
-            groups.setdefault(key, []).append(i)
-    best = max(groups.items(), key=lambda kv: len(kv[1]), default=None)
-    if best is not None and len(best[1]) >= 64 and best[0][0] != best[0][1]:
-        (ca, cb), sp_rows = best
-        sp_rows = list(sp_rows)
-    else:
-        ca = cb = 0
-        sp_rows = []
-    d_rows = [i for i in range(mI) if i not in set(sp_rows)]
-    # r5 causal-suffix assembly: sort the dense rows by max-nonzero column.
-    # Column j of G' diag(d) G only receives rows whose support reaches j
-    # (support ⊆ [0, maxcol]), and after the sort those rows form a SUFFIX —
-    # the per-column KKT matmul contracts over G rows [lo_j:] instead of all
-    # of them (lo_j rounded down to the 128-lane alignment Mosaic requires).
-    # Exact math, not an approximation: the skipped rows are structural
-    # zeros in column j. Measured structure (DMS N=100: ratio 0.56 of the
-    # dense MACs; the reference's casadi stack exposes the same causality —
-    # state row k touches controls 0..k-1 only, DMS_LBMPC_casadi.m:252-315).
-    maxc = {i: (int(supports[i][-1]) if len(supports[i]) else 0)
-            for i in d_rows}
-    d_rows = sorted(d_rows, key=lambda i: maxc[i])
-    mD, mS = len(d_rows), len(sp_rows)
-    mD_p = _round_up(max(mD, 1), 128)
-    mS_p = _round_up(mS, 128) if mS else 0
-    mT_p = mD_p + mS_p
     perm = np.asarray(d_rows + sp_rows, np.int64)
-    maxc_sorted = np.asarray([maxc[i] for i in d_rows], np.int64)
-    # lo128[j]: first (128-aligned) dense row index contributing to column j;
-    # padded rows (>= mD) sit past every suffix start and multiply zeros.
-    lo128 = [int(np.searchsorted(maxc_sorted, j)) // 128 * 128
-             for j in range(nz)]
 
     Gp = np.zeros((mD_p, nz_p), np.float32)
     Gp[:mD, :nz] = Gn[d_rows]
