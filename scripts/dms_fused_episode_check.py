@@ -10,15 +10,20 @@ fused and vmapped paths settle on different local optimizers of the N=100
 NLP (scripts/accuracy_audit_dms.py, c0 ~0.2-class), but what matters is the
 trajectory the shipping backend produces against the reference's.
 
-Measured (2026-08-21, v5e, B=8 identical lanes): conv 0.996 (the only
-unconverged steps are 64-65 — the active-set switch the noise-floor study
-documents); trajectory vs the reference golden: x1 max 1.6e-3, x2 3.5e-3,
-x3 4.8e-2, x4 max 6.5 IN THE TRANSIENT decaying to 0.46 post-step-150 —
-inside the reference's own duplicate-run noise class for these artifacts
-(its q50 run pair disagrees O(1) on x4; docs/NOISE_FLOOR.md), with perfect
-lane determinism. The f64 vmapped path's tolerance at the same shape is
-x4 < 5e-2 (test_parity_sweep) — the f32 backend trades that transient
-accuracy for the 19.5k solves/s fast path; slow states track throughout.
+Measured r4 (2026-08-21, v5e, B=8 identical lanes, XLA+pallas_chol
+backend): conv 0.996 (unconverged only at steps 64-65 — the active-set
+switch the noise-floor study documents); x1 max 1.6e-3, x2 3.5e-3, x3
+4.8e-2, x4 max 6.5 IN THE TRANSIENT decaying to 0.46 post-step-150.
+Measured r5 (2026-08-22, same protocol, the PROMOTED pallas_full backend —
+both phases in Pallas at 45.1k solves/s): conv 0.998 (only step 72), x1
+1.5e-3, x2 3.2e-3, x3 4.3e-2, x4 transient 6.8 decaying to 0.52 — the
+same class, confirming the 2.31x faster backend preserves the closed-loop
+trajectory. Both are inside the reference's own duplicate-run noise class
+for these artifacts (its q50 run pair disagrees O(1) on x4;
+docs/NOISE_FLOOR.md), with perfect lane determinism. The f64 vmapped
+path's tolerance at the same shape is x4 < 5e-2 (test_parity_sweep) — the
+f32 backend trades that transient accuracy for the fast path; slow states
+track throughout.
 
 Usage: python scripts/dms_fused_episode_check.py
 """
@@ -66,11 +71,13 @@ def main():
         tighten_first_step=cfg.ocp.tighten_first_step)
     w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
                           sc.ocp.LAMBDA, sc.ocp.PSI)
+    # r5: the promoted bench backend — both phases in Pallas (pallas_full,
+    # tile 128; B=8 lanes pad to one 128-lane tile)
     solve = make_lbmpc_solver_fused(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="casadi", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=(16, 8),
-        tile=256, alphas=((1.0,), (1.0, 0.5, 0.25)))
+        qp_kernel="pallas_full", tile=128, alphas=((1.0,), (1.0, 0.5, 0.25)))
     f32 = jnp.float32
     B = 8
     x_wp = jnp.asarray(cfg.plant.x_wp, f32)
