@@ -54,6 +54,8 @@ def make_lbmpc_solver_fused(
     d_cap: float = 1e6,
     qp_kernel: str = "xla",
     alphas: tuple = _ALPHAS,
+    qp_warm: bool = False,
+    warm_eps: float = 1e-5,
 ):
     """Returns solve_batch(dx0 (B,n), windows (batched DataWindow), z_ws (B,nz))
     -> (z (B,nz), converged (B,)). float32 throughput path.
@@ -75,7 +77,15 @@ def make_lbmpc_solver_fused(
     ops/pallas_gn's kernel (phase budget: they cost 3.5 ms/step in XLA,
     nearly all op-issue overhead), handing the packed H straight to the QP
     kernel — two launches per GN iteration, no XLA-side J/H materialization
-    (m=1; fmincon and casadi/DMS families)."""
+    (m=1; fmincon and casadi/DMS families).
+
+    qp_warm=True (pallas/pallas_full only) threads the Mehrotra kernel's
+    final interior (s, z) from each QP into the next as its starting point
+    (ops/pallas_ipm warm_in/warm_out; r5 iteration-cut lever): GN iter 0
+    accepts alpha=1 on 100% of lanes, so QP2's rhs h2 = h1 - G d1 equals
+    QP1's final slack — an exactly primal-feasible start whose dual carries
+    the active set. Pair with a shortened tail schedule, e.g. ipm_iters=
+    (16, 4); measured in scripts/bench_pallas_sqp.py mode "warm"."""
     f32 = jnp.float32
     Gd = jnp.asarray(qp.G, f32)
     h0d = jnp.asarray(qp.h0, f32)
@@ -140,34 +150,40 @@ def make_lbmpc_solver_fused(
         # "pallas" (XLA GN) has no packed handoff -> QP tile independent;
         # "pallas_full" shares _pf_tile with the GN kernel (see knob note)
         _qp_tile = min(tile, _qp_cap) if qp_kernel == "pallas" else _pf_tile
+
+        # per-position kernel variants: with qp_warm, QP i>0 consumes the
+        # previous QP's interior state and QP i<last produces one
+        def _wio(it_idx):
+            return (bool(qp_warm) and it_idx > 0,
+                    bool(qp_warm) and it_idx < sqp_iters - 1)
+
+        _keys = {(ipm_sched[i],) + _wio(i) for i in range(sqp_iters)}
         pallas_raws = {
-            it: build_pallas_qp_solver_h(
+            (it, win, wout): build_pallas_qp_solver_h(
                 qp.G, iters=it, tile=_qp_tile, d_cap=d_cap,
                 interpret=interpret,
-                mcols_bf16=os.environ.get("LBMPC_MCOLS_BF16") == "1")
-            for it in set(ipm_sched)}
+                mcols_bf16=os.environ.get("LBMPC_MCOLS_BF16") == "1",
+                warm_in=win, warm_out=wout, warm_eps=warm_eps)
+            for (it, win, wout) in _keys}
 
-        class _Sub:
-            __slots__ = ("x", "mu")
-
-            def __init__(self, x, mu):
-                self.x = x
-                self.mu = mu
-
-        class _Fused:
-            @staticmethod
-            def raw_with_H(Hb, gb, hb, iters=ipm_sched[0]):
-                x, mu = pallas_raws[iters](Hb, gb, hb)
-                return _Sub(x, mu)
-
-        fused = _Fused()
+        def _qp_call(it_idx, hb, warm_state, Hb=None, H_pk=None, gb=None):
+            """Dispatch QP it_idx through its variant; returns
+            (d, mu, warm_state_out)."""
+            win, wout = _wio(it_idx)
+            slv = pallas_raws[(ipm_sched[it_idx], win, wout)]
+            fn = slv.raw_packed if H_pk is not None else slv
+            args = ((H_pk, gb, hb) if H_pk is not None else (Hb, gb, hb))
+            kw2 = {"warm": warm_state} if win else {}
+            out = fn(*args, **kw2)
+            if wout:
+                return out[0], out[1], out[2]
+            return out[0], out[1], None
     else:
         fused_by_iters = {
             it: build_fused_qp_solver(None, qp.G, iters=it, tile=tile,
                                       interpret=interpret, scale=scale,
                                       d_cap=d_cap)
             for it in set(ipm_sched)}
-        fused = fused_by_iters[ipm_sched[0]]
     residual_single, res_jac_single = make_residual_and_jac(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
         ridge=ridge, dx_ref=dx_ref, dtype=f32)
@@ -213,6 +229,7 @@ def make_lbmpc_solver_fused(
         # guarded evaluation; iter 1 keeps fallbacks for its 13% tail.
         per_gn = isinstance(alphas[0], (tuple, list))
         mu_last = jnp.zeros((dx0.shape[0],), f32)
+        warm_state = None
         for it in range(sqp_iters):
             sched = tuple(alphas[min(it, len(alphas) - 1)]) if per_gn \
                 else tuple(alphas)
@@ -225,21 +242,21 @@ def make_lbmpc_solver_fused(
             elif qp_kernel == "pallas_full":
                 e, H_pk, gb = gn_raw_for(windows.X.shape[-2])(
                     z, dx0, windows)
-                d, mu_last = pallas_raws[ipm_sched[it]].raw_packed(
-                    H_pk, gb, h - z @ Gd.T)
+                d, mu_last, warm_state = _qp_call(
+                    it, h - z @ Gd.T, warm_state, H_pk=H_pk, gb=gb)
             else:
                 e, J = resjac_b(z, dx0, windows)           # (B, ne), (B, ne, nz)
                 Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
                 Hb = Hb + 1e-6 * jnp.eye(Hb.shape[-1], dtype=f32)[None]
                 gb = 2.0 * jnp.einsum("bei,be->bi", J, e, precision=jax.lax.Precision.HIGHEST)
                 if qp_kernel == "pallas":
-                    sub = fused.raw_with_H(Hb, gb, h - z @ Gd.T,
-                                           iters=ipm_sched[it])
+                    d, mu_last, warm_state = _qp_call(
+                        it, h - z @ Gd.T, warm_state, Hb=Hb, gb=gb)
                 else:
                     sub = fused_by_iters[ipm_sched[it]].raw_with_H(
                         Hb, gb, h - z @ Gd.T)
-                d = sub.x
-                mu_last = sub.mu
+                    d = sub.x
+                    mu_last = sub.mu
             # merit at the current iterate reuses the residual the Jacobian
             # pass just computed — identical value, one rollout saved per GN
             v0 = jnp.sum(jnp.maximum(z @ Gd.T - h, 0.0), axis=1)
@@ -310,6 +327,7 @@ def make_lbmpc_solver_hybrid(
     qp_kernel: str = "xla",
     alphas: tuple = _ALPHAS,
     repair_backend: str = "vmapped",
+    qp_warm: bool = False,
 ):
     """Fused batch SQP + fixed-shape vmapped repair of flagged lanes.
 
@@ -339,7 +357,7 @@ def make_lbmpc_solver_hybrid(
         qp, A, B, Ks, w, family=family, delta=delta, bandwidth=bandwidth,
         ridge=ridge, dx_ref=dx_ref, sqp_iters=sqp_iters, ipm_iters=ipm_iters,
         tile=tile, rho=rho, interpret=interpret, scale=scale,
-        qp_kernel=qp_kernel, alphas=alphas)
+        qp_kernel=qp_kernel, alphas=alphas, qp_warm=qp_warm)
     if repair_backend == "fused":
         # repair through the batch-level machinery at the compacted size:
         # the vmapped per-problem repair costs ~1.4 ms of pure sequential op

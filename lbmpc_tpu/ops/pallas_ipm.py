@@ -41,7 +41,8 @@ def _round_up(x: int, m: int) -> int:
 _VMEM_BUDGET = 60 << 20  # grant ceiling (~2x headroom under 128M physical)
 
 
-def _qp_vmem_grant(nz_p: int, mD_p: int, mS_p: int, T: int) -> int:
+def _qp_vmem_grant(nz_p: int, mD_p: int, mS_p: int, T: int,
+                   warm_io: int = 0) -> int:
     """vmem_limit_bytes for the packed-H Mehrotra kernel, 0 when the default
     16M scoped policy suffices. Per-lane element model FIT on two exact
     Mosaic stack-OOM reports (r5): the DMS shape (nz_p=104, T=128,
@@ -57,7 +58,9 @@ def _qp_vmem_grant(nz_p: int, mD_p: int, mS_p: int, T: int) -> int:
     models at 8.8M -> grant 0, unchanged behavior."""
     n2 = nz_p * nz_p
     mQ = mD_p + mS_p
-    need = int((6.8 * n2 + 4 * nz_p + 18 * mQ) * T * 4) \
+    # warm_io counts enabled warm-state directions (in, out) — each adds two
+    # double-buffered (mQ, T) blocks (s and z)
+    need = int((6.8 * n2 + 4 * nz_p + (18 + 4 * warm_io) * mQ) * T * 4) \
         + (2 * nz_p * mD_p + mS_p * 128) * 4
     if need <= (14 << 20):
         return 0
@@ -140,6 +143,9 @@ def build_pallas_qp_solver_h(
     d_cap: float = 1e6,
     interpret: bool = False,
     mcols_bf16: bool = False,
+    warm_in: bool = False,
+    warm_out: bool = False,
+    warm_eps: float = 1e-5,
 ):
     """Per-problem-Hessian full-IPM kernel: the whole Mehrotra loop in VMEM.
 
@@ -169,6 +175,18 @@ def build_pallas_qp_solver_h(
     -> (x (B, nz), mu (B,)); unjitted and context-free for embedding in an
     outer jitted scan (the caller owns matmul precision, like
     ipm_fused.raw_with_H).
+
+    warm_out appends the final interior state to the return — an opaque
+    tuple of kernel-layout (rows, Bp) f32 arrays ((s_d, z_d[, s_sp, z_sp]))
+    — and warm_in accepts it as `warm=` on raw/raw_packed, flooring every
+    entry at warm_eps (strict interiority) and re-masking padded rows
+    (r5 IPM-iteration-cut lever, docs/ROADMAP.md #1): in the SQP, GN iter 0
+    accepts alpha=1 on 100% of lanes (scripts/alpha_stats.py), so the next
+    QP's constraint rhs is h2 = h1 - G d1 = s1 — the previous QP's final
+    slack IS an exactly primal-feasible start at x = 0, and the dual z1
+    carries the (barely changing) active set. A warm-started Mehrotra then
+    needs far fewer iterations than the cold 8 of the r3-adopted (16, 8)
+    schedule; measured on-chip in scripts/bench_pallas_sqp.py mode "warm".
     """
     nz = G.shape[1]
     mI = G.shape[0]
@@ -219,17 +237,36 @@ def build_pallas_qp_solver_h(
         # constraint-space state lives SPLIT: dense rows (MXU operands) and
         # the 2-column sparse block (VPU broadcasts/reductions) never meet in
         # one array — no in-kernel concat (Mosaic relayout trap, r3 notes)
+        # ref order: inputs (SP, hs | warm s0/z0 dense | warm s0/z0 sparse),
+        # outputs (x, mu | warm s/z dense | warm s/z sparse), scratch
+        rest = list(rest)
         if mS:
-            (SP_ref, hs_ref, x_out, mu_out, x_s, s_s, z_s,
-             ss_s, zs_s) = rest
+            SP_ref, hs_ref = rest[:2]
+            del rest[:2]
             ga = SP_ref[:, 0:1]
             gb = SP_ref[:, 1:2]
             hs = hs_ref[:]
             rows_s = jax.lax.broadcasted_iota(jnp.int32, (mS_p, 1), 0)
             act_s = jnp.where(rows_s < jnp.int32(mS), 1.0,
                               0.0).astype(jnp.float32)
+        if warm_in:
+            s0d_ref, z0d_ref = rest[:2]
+            del rest[:2]
+            if mS:
+                s0s_ref, z0s_ref = rest[:2]
+                del rest[:2]
+        x_out, mu_out = rest[:2]
+        del rest[:2]
+        if warm_out:
+            sd_out, zd_out = rest[:2]
+            del rest[:2]
+            if mS:
+                ss_out, zs_out = rest[:2]
+                del rest[:2]
+        if mS:
+            x_s, s_s, z_s, ss_s, zs_s = rest
         else:
-            x_out, mu_out, x_s, s_s, z_s = rest
+            x_s, s_s, z_s = rest
         g = g_ref[:]
         h = h_ref[:]
         GTm = GT_ref[:]
@@ -244,11 +281,20 @@ def build_pallas_qp_solver_h(
         act = jnp.where(rows_m < jnp.int32(mD), 1.0, 0.0).astype(jnp.float32)
 
         x_s[:] = jnp.zeros((nz_p, T), jnp.float32)
-        s_s[:] = jnp.maximum(h, 1.0)
-        z_s[:] = jnp.broadcast_to(act, (mD_p, T))  # padded rows: z = 0 forever
-        if mS:
-            ss_s[:] = jnp.maximum(hs, 1.0)
-            zs_s[:] = jnp.broadcast_to(act_s, (mS_p, T))
+        if warm_in:
+            # floored previous-QP interior state; padded rows: z = 0 forever
+            s_s[:] = jnp.maximum(s0d_ref[:], jnp.float32(warm_eps))
+            z_s[:] = jnp.maximum(z0d_ref[:], jnp.float32(warm_eps)) * act
+            if mS:
+                ss_s[:] = jnp.maximum(s0s_ref[:], jnp.float32(warm_eps))
+                zs_s[:] = jnp.maximum(z0s_ref[:],
+                                      jnp.float32(warm_eps)) * act_s
+        else:
+            s_s[:] = jnp.maximum(h, 1.0)
+            z_s[:] = jnp.broadcast_to(act, (mD_p, T))
+            if mS:
+                ss_s[:] = jnp.maximum(hs, 1.0)
+                zs_s[:] = jnp.broadcast_to(act_s, (mS_p, T))
 
         def Hx(x):
             acc = Hcol(0) * x[0:1, :]
@@ -422,8 +468,14 @@ def build_pallas_qp_solver_h(
             mu_fin = mu_fin + jnp.sum(ss_s[:] * zs_s[:] * act_s, axis=0,
                                       keepdims=True)
         mu_out[:] = mu_fin / float(mI)
+        if warm_out:
+            sd_out[:] = s_s[:]
+            zd_out[:] = z_s[:]
+            if mS:
+                ss_out[:] = ss_s[:]
+                zs_out[:] = zs_s[:]
 
-    def raw(H_b: jax.Array, g: jax.Array, h: jax.Array):
+    def raw(H_b: jax.Array, g: jax.Array, h: jax.Array, warm=None):
         with jax.enable_x64(False):
             B = g.shape[0]
             pad = (-B) % T
@@ -448,9 +500,15 @@ def build_pallas_qp_solver_h(
                    .reshape(nz_p, (Bp // T) * nz_p * T))
             g_t = jnp.zeros((nz_p, Bp), jnp.float32).at[:nz, :].set(
                 g.astype(jnp.float32).T)
-            x_t, mu_t = _call_packed(Hpk, g_t, *_split_h(h, Bp, h.shape[0]),
-                                     Bp)
-            return x_t[:nz, :B].T, mu_t[0, :B]
+            outs = _call_packed(Hpk, g_t, _split_h(h, Bp, h.shape[0]), Bp,
+                                warm=warm)
+            return _finish(outs, B)
+
+    def _finish(outs, B):
+        x_t, mu_t = outs[0], outs[1]
+        if warm_out:
+            return x_t[:nz, :B].T, mu_t[0, :B], tuple(outs[2:])
+        return x_t[:nz, :B].T, mu_t[0, :B]
 
     d_rows_np = np.asarray(d_rows, np.int64)
     sp_rows_np = np.asarray(sp_rows, np.int64)
@@ -466,8 +524,9 @@ def build_pallas_qp_solver_h(
             h32[:, sp_rows_np].T)
         return (h_d, h_sp)
 
-    def _call_packed(Hpk, g_t, h_t, *rest_h_and_B):
-        *h_sp, Bp = rest_h_and_B
+    _warm_rows = [mD_p, mD_p] + ([mS_p, mS_p] if mS else [])
+
+    def _call_packed(Hpk, g_t, h_parts, Bp, warm=None):
         lane = lambda rows: pl.BlockSpec((rows, T), lambda i: (0, i),
                                          memory_space=pltpu.VMEM)
         const = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
@@ -477,33 +536,48 @@ def build_pallas_qp_solver_h(
                          memory_space=pltpu.VMEM),
             lane(nz_p), lane(mD_p), const(nz_p, mD_p), const(mD_p, nz_p),
         ]
-        operands = [Hpk, g_t, h_t, GT_j, Gp_j]
+        operands = [Hpk, g_t, h_parts[0], GT_j, Gp_j]
         scratch = [pltpu.VMEM((nz_p, T), jnp.float32),
                    pltpu.VMEM((mD_p, T), jnp.float32),
                    pltpu.VMEM((mD_p, T), jnp.float32)]
         if mS:
             in_specs += [const(mS_p, 128), lane(mS_p)]
-            operands += [SP_j, h_sp[0]]
+            operands += [SP_j, h_parts[1]]
             scratch += [pltpu.VMEM((mS_p, T), jnp.float32),
                         pltpu.VMEM((mS_p, T), jnp.float32)]
-        vlim = _qp_vmem_grant(nz_p, mD_p, mS_p, T)
-        x_t, mu_t = pl.pallas_call(
+        if warm_in:
+            assert warm is not None and len(warm) == len(_warm_rows), \
+                "warm_in solver needs the previous QP's warm-state tuple"
+            for arr, rows in zip(warm, _warm_rows):
+                assert arr.shape == (rows, Bp), (arr.shape, rows, Bp)
+                in_specs.append(lane(rows))
+                operands.append(arr)
+        out_specs = [lane(nz_p), lane(1)]
+        out_shape = [
+            jax.ShapeDtypeStruct((nz_p, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        ]
+        if warm_out:
+            for rows in _warm_rows:
+                out_specs.append(lane(rows))
+                out_shape.append(jax.ShapeDtypeStruct((rows, Bp),
+                                                      jnp.float32))
+        vlim = _qp_vmem_grant(nz_p, mD_p, mS_p, T,
+                              warm_io=int(warm_in) + int(warm_out))
+        outs = pl.pallas_call(
             kernel,
             grid=(Bp // T,),
             compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vlim)
                              if vlim else None),
             in_specs=in_specs,
-            out_specs=[lane(nz_p), lane(1)],
-            out_shape=[
-                jax.ShapeDtypeStruct((nz_p, Bp), jnp.float32),
-                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
         )(*operands)
-        return x_t, mu_t
+        return outs
 
-    def raw_packed(H_pk: jax.Array, g: jax.Array, h: jax.Array):
+    def raw_packed(H_pk: jax.Array, g: jax.Array, h: jax.Array, warm=None):
         """Like raw(), but H arrives already in the packed 2D per-tile
         layout ((nz_p, tiles*nz_p*T)) that ops/pallas_gn's kernel emits —
         the two kernels hand off with zero XLA-side repacking. When the
@@ -517,8 +591,8 @@ def build_pallas_qp_solver_h(
             assert Bp >= B and Bp % T == 0, (B, Bp, T)
             g_t = jnp.zeros((nz_p, Bp), jnp.float32).at[:nz, :B].set(
                 g.astype(jnp.float32).T)
-            x_t, mu_t = _call_packed(H_pk, g_t, *_split_h(h, Bp, B), Bp)
-            return x_t[:nz, :B].T, mu_t[0, :B]
+            outs = _call_packed(H_pk, g_t, _split_h(h, Bp, B), Bp, warm=warm)
+            return _finish(outs, B)
 
     raw.raw_packed = raw_packed
     return raw

@@ -71,13 +71,21 @@ def main():
     z_ref, conv_ref = ref(dx, wins, z0)
     z_ref = np.asarray(z_ref)
 
-    for sched in ((16, 16), (16, 8), (12, 10)):
+    # (schedule, qp_warm) — the warm rows grade the r5 iteration-cut lever
+    # (QP2 started from QP1's final interior state; see sqp_fused qp_warm)
+    if "warm" in sys.argv[1:]:
+        configs = (((16, 8), False), ((8, 2), True), ((6, 2), True),
+                   ((6, 4), True), ((4, 2), True), ((4, 4), True))
+    else:
+        configs = (((16, 16), False), ((16, 8), False), ((12, 10), False))
+    for sched, qwarm in configs:
         s = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
-                                    ipm_iters=sched, **kw)
+                                    ipm_iters=sched, qp_warm=qwarm, **kw)
         z, conv = s(dx, wins, z0)
         err = np.abs(np.asarray(z)[:, 0] - z_ref[:, 0])
         print(json.dumps(dict(
-            sched=list(sched), conv=round(float(np.mean(np.asarray(conv))), 5),
+            sched=list(sched), warm=qwarm,
+            conv=round(float(np.mean(np.asarray(conv))), 5),
             c0_err_p50=float(np.median(err)), c0_err_p99=float(np.percentile(err, 99)),
             c0_err_max=float(err.max()))), flush=True)
 

@@ -169,6 +169,23 @@ def main():
             qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2, ipm_iters=(16, 8),
             qp_kernel="pallas_full", tile=128,
             alphas=((1.0,), (1.0, 0.5, 0.25)), **kw), batch=1024, R=8)
+    elif mode == "warm":
+        # r5 IPM-iteration cut at the DMS shape (see sqp_fused qp_warm):
+        # QP2 warm-started from QP1's final interior state. The nz_p=104
+        # chol/assembly dominates the step, so each trimmed iteration is
+        # worth ~2x what it is at N=20.
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        bench("pfull_cold_i16_8", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2, ipm_iters=(16, 8),
+            qp_kernel="pallas_full", tile=128, alphas=al, **kw),
+            batch=1024, R=8)
+        for sched in ((16, 2), (10, 2), (8, 2)):
+            bench(f"pfull_warm_i{sched[0]}_{sched[1]}",
+                  make_lbmpc_solver_fused(
+                      qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2,
+                      ipm_iters=sched, qp_warm=True,
+                      qp_kernel="pallas_full", tile=128, alphas=al, **kw),
+                  batch=1024, R=8)
     elif mode == "cholstore":
         # r5 lever 1 (docs/ROADMAP.md): factor reuse at the DMS shape.
         # LBMPC_CHOL_STORE=0 -> refactor-per-solve (2 factorizations/IPM

@@ -228,6 +228,59 @@ def main():
             qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=(16, 10),
             repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
             repair_warm="fused", repair_backend="fused", **base))
+    elif mode == "warm":
+        # r5 IPM-iteration cut: QP2 warm-started from QP1's final interior
+        # (s, z) — h2 = h1 - G d1 = s1 at the measured 100% alpha=1 GN0
+        # acceptance, so the start is exactly primal-feasible and carries
+        # the active set. Baseline = the adopted cold (16, 8).
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        base = dict(kw, qp_kernel="pallas_full", tile=256, alphas=al)
+        base.pop("ipm_iters")
+        bench("pfull_cold_i16_8", make_lbmpc_solver_fused(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=(16, 8), **base))
+        for tail in (6, 4, 2):
+            bench(f"pfull_warm_i16_{tail}", make_lbmpc_solver_fused(
+                qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=(16, tail),
+                qp_warm=True, **base))
+        bench("hyb_pfull_warm_i16_4", make_lbmpc_solver_hybrid(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=(16, 4), qp_warm=True,
+            repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
+            repair_warm="fused", repair_backend="fused", **base))
+    elif mode == "warm2":
+        # round 2 of the warm sweep: the audit cleared (14, 2)/(12, 2) at
+        # conv 1.0 with the unchanged accuracy class — cut QP1's cold
+        # budget too, and take the hybrid at the winner
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        base = dict(kw, qp_kernel="pallas_full", tile=256, alphas=al)
+        base.pop("ipm_iters")
+        for sched in ((16, 2), (14, 2), (12, 2), (10, 2)):
+            bench(f"pfull_warm_i{sched[0]}_{sched[1]}",
+                  make_lbmpc_solver_fused(
+                      qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=sched,
+                      qp_warm=True, **base))
+        for sched in ((16, 2), (12, 2)):
+            bench(f"hyb_pfull_warm_i{sched[0]}_{sched[1]}",
+                  make_lbmpc_solver_hybrid(
+                      qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=sched,
+                      qp_warm=True, repair_frac=24.0 / batch,
+                      repair_sqp_iters=1, repair_ipm_iters=8,
+                      repair_warm="fused", repair_backend="fused", **base))
+    elif mode == "warm3":
+        # round 3: the audit cleared (8, 2) at the unchanged class — find
+        # the cold-QP1 floor (the warm chain makes the two QPs a single
+        # continued solve, so total iterations is the real budget)
+        al = ((1.0,), (1.0, 0.5, 0.25))
+        base = dict(kw, qp_kernel="pallas_full", tile=256, alphas=al)
+        base.pop("ipm_iters")
+        for sched in ((10, 2), (8, 2), (6, 2), (6, 4)):
+            bench(f"pfull_warm_i{sched[0]}_{sched[1]}",
+                  make_lbmpc_solver_fused(
+                      qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=sched,
+                      qp_warm=True, **base))
+        bench("hyb_pfull_warm_i8_2", make_lbmpc_solver_hybrid(
+            qp, sc.A, sc.B, sc.ocp.Ks, w, ipm_iters=(8, 2), qp_warm=True,
+            repair_frac=24.0 / batch, repair_sqp_iters=1, repair_ipm_iters=8,
+            repair_warm="fused", repair_backend="fused", **base))
     elif mode == "repair":
         al = ((1.0,), (1.0, 0.5, 0.25))
         for rk, rs, ri in ((24, 1, 8), (24, 2, 16), (128, 2, 16)):

@@ -212,3 +212,59 @@ def test_pallas_h_kernel_causal_suffix_matches_xla():
     d40 = np.abs(np.asarray(xp) - np.asarray(ref.x))
     per_lane = np.minimum(d16.max(axis=1), d40.max(axis=1))
     assert per_lane.max() < 5e-3, per_lane.max()
+
+
+def test_fused_sqp_warm_started_qp2_matches_cold():
+    """r5 IPM-iteration-cut lever (docs/ROADMAP.md #1): with qp_warm=True
+    the second QP starts from QP1's final interior (s, z) — exactly
+    primal-feasible at x=0 whenever GN0 accepted alpha=1 (h2 = h1 - G d1 =
+    s1) — and a (16, 2) schedule reproduces the cold (16, 8) SQP to f32
+    roundoff (measured here: dz max 6e-7; on-chip adoption measured in
+    scripts/bench_pallas_sqp.py mode "warm")."""
+    import dataclasses
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.controllers.condensed import build_fmincon_lmpc
+    from lbmpc_tpu.controllers.lbmpc import LBMPCWeights
+    from lbmpc_tpu.controllers.sqp_fused import make_lbmpc_solver_fused
+    from lbmpc_tpu.oracle import init_window
+    from lbmpc_tpu.runtime.scenario import build_scenario
+
+    N, q, B = 12, 16, 16
+    cfg = make_preset("LBMPC_N40")
+    cfg = dataclasses.replace(
+        cfg, ocp=dataclasses.replace(cfg.ocp, N=N),
+        oracle=dataclasses.replace(cfg.oracle, q=q))
+    sc = build_scenario(cfg)
+    qp = build_fmincon_lmpc(
+        sc.A, sc.B, sc.ocp.Ks, sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+        sc.ocp.LAMBDA, sc.ocp.PSI, sc.cs, N, dx_ref=np.asarray(cfg.dx_ref),
+        terminal_at=cfg.ocp.terminal_at,
+        tighten_first_step=cfg.ocp.tighten_first_step)
+    w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
+                          sc.ocp.LAMBDA, sc.ocp.PSI)
+    kw = dict(family="fmincon", delta=cfg.plant.ts,
+              bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
+              dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, tile=B,
+              interpret=True, alphas=((1.0,), (1.0, 0.5, 0.25)))
+    rng = np.random.default_rng(0)
+    f32 = jnp.float32
+    dx = jnp.asarray(np.array([-0.35, -0.4, 0, 0])
+                     + 0.01 * rng.standard_normal((B, 4)), f32)
+    win0 = init_window(q, dtype=f32)
+    wins = type(win0)(
+        X=jnp.asarray(0.1 * rng.standard_normal((B, q, 3)), f32),
+        Y=jnp.asarray(0.001 * rng.standard_normal((B, q, 4)), f32),
+        valid=jnp.ones((B, q), f32), count=jnp.full((B,), q, jnp.int32))
+    z0 = jnp.zeros((B, qp.nz), f32)
+    cold = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                   qp_kernel="pallas", ipm_iters=(16, 8),
+                                   **kw)
+    z_c, c_c = cold(dx, wins, z0)
+    warm = make_lbmpc_solver_fused(qp, sc.A, sc.B, sc.ocp.Ks, w,
+                                   qp_kernel="pallas", ipm_iters=(16, 2),
+                                   qp_warm=True, **kw)
+    z_w, c_w = warm(dx, wins, z0)
+    d = np.abs(np.asarray(z_w) - np.asarray(z_c))
+    assert d.max() < 1e-4, d.max()
+    assert bool(np.asarray(c_c).all()) and bool(np.asarray(c_w).all())
