@@ -69,21 +69,24 @@ def main():
     #     bench distribution (scripts/alpha_stats.py) GN iter 0 accepts
     #     alpha=1 on 100.000% of lanes; iter 1 keeps fallbacks for its 13%
     #     tail; merit at the iterate reuses the Jacobian pass's residual;
-    #   - same s2i16 iteration budget as round 2 (accuracy class unchanged:
-    #     tests/test_pallas_gn.py, test_pallas_ipm.py pin equality to the
-    #     XLA path at f32 roundoff).
-    #   - per-GN IPM schedule (16, 8): the warm second QP converges BETTER
-    #     at 8 iterations (16 drives f32 lanes into the mu-stall regime) —
-    #     measured conv 1.0 fused-only at the SAME c0 error distribution vs
-    #     the vmapped reference as the full budget (p50 8.1e-3 / p99 1.0e-2
-    #     / max 1.1e-2, scripts/accuracy_audit.py).
+    #   - kernel semantics equality-tested vs the XLA path at f32 roundoff
+    #     (tests/test_pallas_gn.py, test_pallas_ipm.py);
+    #   - r5 warm IPM chain (qp_warm): QP2 starts from QP1's final interior
+    #     (s, z) — exactly primal-feasible at x=0 because GN0 accepts
+    #     alpha=1 on 100% of lanes (h2 = h1 - G d1 = s1) — so the two QPs
+    #     act as ONE continued solve and the schedule drops (16, 8) ->
+    #     (8, 2). Accuracy audit: identical c0 error class vs the vmapped
+    #     reference (p50 8.1e-3 / p99 1.0e-2 / max 1.1e-2) all the way down
+    #     to (4, 2); (8, 2) is adopted with a 2x total-iteration margin
+    #     over that floor. Measured (scripts/bench_pallas_sqp.py warm3):
+    #     cold (16,8) 724.7k -> warm (8,2) 1,071k solves/s, conv 0.99998.
     LADDER = ((1.0,), (1.0, 0.5, 0.25))
-    IPM_SCHED = (16, 8)
+    IPM_SCHED = (8, 2)
     fused_fast_solve = make_lbmpc_solver_fused(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=IPM_SCHED,
-        qp_kernel="pallas_full", tile=256, alphas=LADDER,
+        qp_kernel="pallas_full", tile=256, alphas=LADDER, qp_warm=True,
     )
     # conv-1.0 headline: + gather-compacted repair of the flagged mu-stall
     # lanes, now ALSO through the fused pallas machinery at K=24 lanes
@@ -95,7 +98,7 @@ def main():
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="fmincon", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
         dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=IPM_SCHED,
-        qp_kernel="pallas_full", tile=256, alphas=LADDER,
+        qp_kernel="pallas_full", tile=256, alphas=LADDER, qp_warm=True,
         repair_frac=24.0 / 2048.0, repair_sqp_iters=1, repair_ipm_iters=8,
         repair_warm="fused", repair_backend="fused",
     )
@@ -143,14 +146,14 @@ def main():
 
     backends = {
         "vmapped_sqp": jax.vmap(sc.solve),
-        "pfull_sqp_s2i16": fused_fast_solve,
-        "hybrid_pfull_s2i16": hybrid_solve,
+        "pfull_warm_s2i8_2": fused_fast_solve,
+        "hybrid_pfull_warm_s2i8_2": hybrid_solve,
     }
     best = None
     runs = {}
     for name, batch, R in (("vmapped_sqp", 8192, 8),
-                           ("pfull_sqp_s2i16", 2048, 32),
-                           ("hybrid_pfull_s2i16", 2048, 32)):
+                           ("pfull_warm_s2i8_2", 2048, 32),
+                           ("hybrid_pfull_warm_s2i8_2", 2048, 32)):
         dx, windows, z0 = batch_inputs(batch, R)
         run = make_scan(backends[name], R)
         runs[name] = (run, (dx, windows, z0))
@@ -228,13 +231,14 @@ def main():
     kkt_ratio = assembly_mac_ratio(np.asarray(qp.G))
     shape_kw = dict(N=N, n=4, m=1, q=q, mc=qp.G.shape[0], ne=ne, nz=qp.nz,
                     kkt_mac_ratio=kkt_ratio)
-    # n_merit=2 / ipm_iters=12: per-GN averages of the asymmetric ladder
-    # ((1,), (1,.5,.25)) and IPM schedule (16, 8) — the model's totals are
+    # n_merit=2 / ipm_iters: per-GN averages of the asymmetric ladder
+    # ((1,), (1,.5,.25)) and the warm IPM schedule — the model's totals are
     # linear in both, so the averages give the exact sums (m0 reuses the
     # Jacobian pass's residual, costing no extra rollout)
-    phases = fused_sqp_flops_per_solve(sqp_iters=2, ipm_iters=12, n_merit=2,
-                                       **shape_kw)
-    split = fused_sqp_op_split(sqp_iters=2, ipm_iters=12, n_merit=2,
+    ipm_avg = sum(IPM_SCHED) / len(IPM_SCHED)
+    phases = fused_sqp_flops_per_solve(sqp_iters=2, ipm_iters=ipm_avg,
+                                       n_merit=2, **shape_kw)
+    split = fused_sqp_op_split(sqp_iters=2, ipm_iters=ipm_avg, n_merit=2,
                                **shape_kw)
     # the K=24 fused 1-GN/8-IPM repair touches 24/2048 of lanes: ~1% extra
     rfrac = 24.0 / 2048.0
@@ -303,11 +307,15 @@ def main():
             tighten_first_step=dms_cfg.ocp.tighten_first_step)
         dms_w = LBMPCWeights.make(dms_sc.ocp.Q, dms_sc.ocp.R, dms_sc.ocp.P,
                                   dms_sc.ocp.T, dms_sc.ocp.LAMBDA, dms_sc.ocp.PSI)
+        # r5 warm IPM chain at the DMS shape (scripts/bench_dms_flagship.py
+        # warm): cold (16,8) 42.0k -> warm (8,2) 68.3k solves/s, conv 1.0;
+        # accuracy graded by scripts/accuracy_audit_dms.py (warm rows)
         dms_solve = make_lbmpc_solver_fused(
             dms_qp, dms_sc.A, dms_sc.B, dms_sc.ocp.Ks, dms_w, family="casadi",
             delta=dms_cfg.plant.ts, bandwidth=dms_cfg.oracle.bandwidth,
             ridge=dms_cfg.oracle.ridge, dx_ref=np.asarray(dms_cfg.dx_ref),
-            sqp_iters=2, ipm_iters=(16, 8), qp_kernel="pallas_full", tile=128,
+            sqp_iters=2, ipm_iters=(8, 2), qp_warm=True,
+            qp_kernel="pallas_full", tile=128,
             alphas=((1.0,), (1.0, 0.5, 0.25)))
         dms_B, dms_R = 1024, 8
         dms_run = make_scan(dms_solve, dms_R)

@@ -158,6 +158,11 @@ def make_lbmpc_solver_fused(
                     bool(qp_warm) and it_idx < sqp_iters - 1)
 
         _keys = {(ipm_sched[i],) + _wio(i) for i in range(sqp_iters)}
+        if qp_warm:
+            # receding-horizon loop mode (raw_qpwarm): every QP position is
+            # warm-in AND warm-out so the interior state can be carried
+            # across time steps (kernel compiles happen only if traced)
+            _keys |= {(ipm_sched[i], True, True) for i in range(sqp_iters)}
         pallas_raws = {
             (it, win, wout): build_pallas_qp_solver_h(
                 qp.G, iters=it, tile=_qp_tile, d_cap=d_cap,
@@ -166,10 +171,11 @@ def make_lbmpc_solver_fused(
                 warm_in=win, warm_out=wout, warm_eps=warm_eps)
             for (it, win, wout) in _keys}
 
-        def _qp_call(it_idx, hb, warm_state, Hb=None, H_pk=None, gb=None):
+        def _qp_call(it_idx, hb, warm_state, Hb=None, H_pk=None, gb=None,
+                     loop=False):
             """Dispatch QP it_idx through its variant; returns
             (d, mu, warm_state_out)."""
-            win, wout = _wio(it_idx)
+            win, wout = (True, True) if loop else _wio(it_idx)
             slv = pallas_raws[(ipm_sched[it_idx], win, wout)]
             fn = slv.raw_packed if H_pk is not None else slv
             args = ((H_pk, gb, hb) if H_pk is not None else (Hb, gb, hb))
@@ -206,7 +212,14 @@ def make_lbmpc_solver_fused(
                                        if a.dtype != jnp.int32 else a, windows),
                           z_ws.astype(f32))
 
-    def _solve(dx0, windows, z):
+    def _solve(dx0, windows, z, qp_state=None):
+        # qp_state != None => receding-horizon loop mode: every QP consumes
+        # AND produces the kernel's interior (s, z) state, and the final
+        # state is returned for the next time step's solve (use
+        # init_qp_state for step 0 — cold-identical). pallas kernels only.
+        loop = qp_state is not None
+        if loop and qp_kernel not in ("pallas", "pallas_full"):
+            raise ValueError("qp_state loop mode needs a pallas QP kernel")
         h = h0d[None, :] + dx0 @ Hpd.T
 
         def cost(zb):
@@ -229,7 +242,7 @@ def make_lbmpc_solver_fused(
         # guarded evaluation; iter 1 keeps fallbacks for its 13% tail.
         per_gn = isinstance(alphas[0], (tuple, list))
         mu_last = jnp.zeros((dx0.shape[0],), f32)
-        warm_state = None
+        warm_state = qp_state
         for it in range(sqp_iters):
             sched = tuple(alphas[min(it, len(alphas) - 1)]) if per_gn \
                 else tuple(alphas)
@@ -243,7 +256,8 @@ def make_lbmpc_solver_fused(
                 e, H_pk, gb = gn_raw_for(windows.X.shape[-2])(
                     z, dx0, windows)
                 d, mu_last, warm_state = _qp_call(
-                    it, h - z @ Gd.T, warm_state, H_pk=H_pk, gb=gb)
+                    it, h - z @ Gd.T, warm_state, H_pk=H_pk, gb=gb,
+                    loop=loop)
             else:
                 e, J = resjac_b(z, dx0, windows)           # (B, ne), (B, ne, nz)
                 Hb = 2.0 * jnp.einsum("bei,bej->bij", J, J, precision=jax.lax.Precision.HIGHEST)
@@ -251,7 +265,8 @@ def make_lbmpc_solver_fused(
                 gb = 2.0 * jnp.einsum("bei,be->bi", J, e, precision=jax.lax.Precision.HIGHEST)
                 if qp_kernel == "pallas":
                     d, mu_last, warm_state = _qp_call(
-                        it, h - z @ Gd.T, warm_state, Hb=Hb, gb=gb)
+                        it, h - z @ Gd.T, warm_state, Hb=Hb, gb=gb,
+                        loop=loop)
                 else:
                     sub = fused_by_iters[ipm_sched[it]].raw_with_H(
                         Hb, gb, h - z @ Gd.T)
@@ -288,12 +303,30 @@ def make_lbmpc_solver_fused(
                             jnp.all(jnp.isfinite(z), axis=1)),
             mu_last < 1e-2,
         )
+        if loop:
+            return z, conv, warm_state
         return z, conv
 
     # context-free entry for embedding in an outer jitted scan (see
     # runtime/closed_loop.run_closed_loop_batched); caller owns f32 casting
     # and matmul precision
     solve_batch.raw = _solve
+    if qp_warm and qp_kernel in ("pallas", "pallas_full"):
+        # receding-horizon warm chain: raw_qpwarm threads the Mehrotra
+        # kernel's interior state ACROSS solves — (z, conv, qp_state) =
+        # raw_qpwarm(dx0, windows, z_ws, qp_state); seed step 0 with
+        # init_qp_state (bit-identical to a cold start, so no separate
+        # cold-step branch is traced in the loop)
+        solve_batch.raw_qpwarm = _solve
+        _any_warm = next(iter(pallas_raws.values()))
+
+        def init_qp_state(dx0, z_ws):
+            dx0 = dx0.astype(f32)
+            z_ws = z_ws.astype(f32)
+            h = h0d[None, :] + dx0 @ Hpd.T
+            return _any_warm.cold_state(h - z_ws @ Gd.T)
+
+        solve_batch.init_qp_state = init_qp_state
     solve_batch._res_b = res_b            # test hooks: batched residual and
     solve_batch._resjac_b = resjac_b      # residual+Jacobian (jac_mode path)
     solve_batch._pf_tile = _pf_tile       # shared pallas_full handoff tile
@@ -391,8 +424,7 @@ def make_lbmpc_solver_hybrid(
         vm_b = jax.vmap(vm, in_axes=(0, 0, 0))
     f32 = jnp.float32
 
-    def _solve(dx0, windows, z_ws):
-        z, conv = fused.raw(dx0, windows, z_ws)
+    def _repair(z, conv, dx0, windows, z_ws):
         Bsz = dx0.shape[0]
         K = max(1, min(Bsz, int(round(Bsz * repair_frac))))
         flagged = ~conv
@@ -413,6 +445,10 @@ def make_lbmpc_solver_hybrid(
         conv = conv.at[idx].set(jnp.where(take, conv_r, conv[idx]))
         return z, conv
 
+    def _solve(dx0, windows, z_ws):
+        z, conv = fused.raw(dx0, windows, z_ws)
+        return _repair(z, conv, dx0, windows, z_ws)
+
     @jax.jit
     def solve_batch(dx0, windows, z_ws):
         with jax.default_matmul_precision("highest"):
@@ -423,6 +459,19 @@ def make_lbmpc_solver_hybrid(
                 z_ws.astype(f32))
 
     solve_batch.raw = _solve
+    if hasattr(fused, "raw_qpwarm"):
+        # cross-step warm chain with the per-step repair riding along (the
+        # repair touches z/conv only; the carried interior state is the
+        # fused path's — repaired lanes re-enter the chain at the next
+        # step's relinearization)
+        def _solve_qpwarm(dx0, windows, z_ws, qp_state):
+            z, conv, qp_state = fused.raw_qpwarm(dx0, windows, z_ws,
+                                                 qp_state)
+            z, conv = _repair(z, conv, dx0, windows, z_ws)
+            return z, conv, qp_state
+
+        solve_batch.raw_qpwarm = _solve_qpwarm
+        solve_batch.init_qp_state = fused.init_qp_state
     return solve_batch
 
 

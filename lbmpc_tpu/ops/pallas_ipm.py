@@ -594,7 +594,29 @@ def build_pallas_qp_solver_h(
             outs = _call_packed(H_pk, g_t, _split_h(h, Bp, B), Bp, warm=warm)
             return _finish(outs, B)
 
+    def cold_state(h: jax.Array, Bp: int | None = None):
+        """Kernel-layout warm-state tuple equal to the cold initialization
+        (s = max(h, 1) in the split/permuted row layout, z = 1 on active
+        rows): feeding it to a warm_in solver reproduces the cold solver
+        bit-exactly (the warm path computes max(s, eps) and
+        max(z, eps) * act, both identities here). Lets a receding-horizon
+        loop carry ONE warm-capable QP variant with a well-defined step-0
+        state instead of tracing separate cold/warm branches."""
+        with jax.enable_x64(False):
+            B = h.shape[0]
+            Bp = Bp or B + ((-B) % T)
+            parts = _split_h(h, Bp, B)
+            st = [jnp.maximum(parts[0], 1.0),
+                  jnp.where(jnp.arange(mD_p)[:, None] < mD, 1.0, 0.0)
+                  * jnp.ones((mD_p, Bp), jnp.float32)]
+            if mS:
+                st += [jnp.maximum(parts[1], 1.0),
+                       jnp.where(jnp.arange(mS_p)[:, None] < mS, 1.0, 0.0)
+                       * jnp.ones((mS_p, Bp), jnp.float32)]
+            return tuple(st)
+
     raw.raw_packed = raw_packed
+    raw.cold_state = cold_state
     return raw
 
 

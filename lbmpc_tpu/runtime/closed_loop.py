@@ -105,13 +105,26 @@ def run_closed_loop_batched(
     iterations: int,
     learn: bool = True,
     log_post_state: bool = True,
+    qp_warm_solve: Callable | None = None,
+    qp_init_state: Callable | None = None,
 ) -> ClosedLoopResult:
     """Batch-level twin of run_closed_loop: the whole cohort advances through
     one scan with a BATCH-LEVEL solver (e.g. controllers/sqp_fused.py, whose
     QP subproblems run as one fused kernel per iteration instead of one
     dispatched micro-op per scenario). Same step semantics as run_closed_loop
     (ref: functions/ocpLBMPC.m:10-46); histories gain a leading batch axis.
-    """
+
+    qp_warm_solve/qp_init_state (r5 cross-step warm chain): when given,
+    the scan carry additionally threads the QP kernel's interior (s, z)
+    state across time steps — qp_warm_solve(dx, window, z_ws, qp_state) ->
+    (z, conv, qp_state') with qp_init_state(dx_init, z0) seeding step 0
+    cold-identically (sqp_fused solve_batch.raw_qpwarm / init_qp_state).
+    Receding-horizon steps then continue the previous step's IPM instead of
+    re-centering from scratch, so a short warm schedule serves every step.
+    The carried state is an intra-episode accelerator only: checkpoints
+    (runtime/checkpoint.py) do not persist it, and a resume re-seeds it
+    cold — the resumed solve is slightly more conservative, never less
+    converged."""
     n = x_wp.shape[-1]
     m = u_wp.shape[-1] if u_wp.ndim else 1
     u_wp = jnp.atleast_1d(u_wp)
@@ -125,11 +138,18 @@ def run_closed_loop_batched(
     warm_b = jax.vmap(warm_start_fn)
 
     x0_abs = x_wp[None, :] + dx_init
+    chain = qp_warm_solve is not None
 
     def step(carry, _):
-        x, window, z_ws = carry
+        if chain:
+            x, window, z_ws, qps = carry
+        else:
+            x, window, z_ws = carry
         dx = x - x_wp[None, :]
-        z, converged = solve_batch(dx, window, z_ws)
+        if chain:
+            z, converged, qps = qp_warm_solve(dx, window, z_ws, qps)
+        else:
+            z, converged = solve_batch(dx, window, z_ws)
         c0 = z[:, :m]
         du = dx @ Ks.T + c0
         u = du + u_wp[None, :]
@@ -143,12 +163,17 @@ def run_closed_loop_batched(
         z_next = warm_b(z, dx, dx1, window1)
         art = z[:, -nth:] @ Mtheta_x.T
         logged_dx = dx1 if log_post_state else dx
-        return (x1, window1, z_next), (
+        carry_out = ((x1, window1, z_next, qps) if chain
+                     else (x1, window1, z_next))
+        return carry_out, (
             jnp.concatenate([logged_dx, du], axis=1), art[:, :m], converged)
 
-    (xf, wf, zf), (sysH, artH, conv) = jax.lax.scan(
-        step, (x0_abs, window0, z0), None, length=iterations
+    carry0 = ((x0_abs, window0, z0, qp_init_state(dx_init, z0)) if chain
+              else (x0_abs, window0, z0))
+    carry_f, (sysH, artH, conv) = jax.lax.scan(
+        step, carry0, None, length=iterations
     )
+    xf, wf, zf = carry_f[0], carry_f[1], carry_f[2]
     first = jnp.concatenate(
         [dx_init, jnp.zeros((dx_init.shape[0], m), sysH.dtype)], axis=1)[None]
     sysH = jnp.concatenate([first, sysH], axis=0)

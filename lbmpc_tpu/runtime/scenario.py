@@ -272,13 +272,15 @@ def build_scenario(name_or_cfg, ipm_iters: int | None = None) -> Scenario:
     )
 
 
-def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
+def build_fleet_episode(name_or_cfg, ipm_iters=None,
                         sqp_iters: int | None = None,
                         interpret: bool | None = None,
                         backend: str = "fused",
                         repair_frac: float = 1.0 / 85.0,
                         qp_kernel: str = "xla",
-                        alphas=None):
+                        alphas=None,
+                        qp_warm: bool = False,
+                        warm_chain: bool = False):
     """Batch-level LBMPC episode on the fused QP backend (f32 throughput path).
 
     Returns (scenario, run(dx_init (B, n)) -> batched ClosedLoopResult). The
@@ -297,7 +299,10 @@ def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
     from lbmpc_tpu.models.mgcm import mg2_ode, rk23_step
     from lbmpc_tpu.runtime.closed_loop import run_closed_loop_batched
 
-    sc = build_scenario(cfg, ipm_iters=ipm_iters)
+    # ipm_iters may be a per-GN tuple (the fused factory's schedule form);
+    # the vmapped scenario solver only takes the flat int form
+    sc = build_scenario(cfg, ipm_iters=(ipm_iters if isinstance(ipm_iters, int)
+                                        else None))
     p = cfg.plant
     mg2 = getattr(p, "model", "mgcm4") == "mg2"
     plant_ode = mg2_ode if mg2 else None
@@ -320,7 +325,8 @@ def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
         # round-3 kernels (ops/pallas_gn + ops/pallas_ipm); the bench
         # headline ladder rides along unless overridden
         extra.update(qp_kernel=qp_kernel, tile=256,
-                     alphas=alphas or ((1.0,), (1.0, 0.5, 0.25)))
+                     alphas=alphas or ((1.0,), (1.0, 0.5, 0.25)),
+                     qp_warm=qp_warm)
     elif alphas is not None:
         extra.update(alphas=alphas)
     solve_batch = factory(
@@ -342,6 +348,13 @@ def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
         win0 = init_window(cfg.oracle.q, d_out=cfg.oracle.d_out, dtype=f32)
         windows0 = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (B0,) + a.shape), win0)
+        chain_kw = {}
+        if warm_chain:
+            if not (qp_warm and hasattr(solve_batch, "raw_qpwarm")):
+                raise ValueError("warm_chain needs qp_warm=True and a "
+                                 "pallas QP kernel")
+            chain_kw = dict(qp_warm_solve=solve_batch.raw_qpwarm,
+                            qp_init_state=solve_batch.init_qp_state)
         with jax.default_matmul_precision("highest"):
             return run_closed_loop_batched(
                 solve_batch.raw, plant, lambda z, dxu, dxn, w_: z,
@@ -350,6 +363,7 @@ def build_fleet_episode(name_or_cfg, ipm_iters: int | None = None,
                 jnp.asarray(p.x_wp, f32), jnp.asarray([p.u_wp], f32),
                 dx_init.astype(f32), jnp.zeros((B0, qp.nz), f32), windows0,
                 cfg.iterations, learn=cfg.learn_online, log_post_state=False,
+                **chain_kw,
             )
 
     return sc, run

@@ -79,9 +79,16 @@ def main():
     candp = make_lbmpc_solver_fused(
         qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2, ipm_iters=(16, 8),
         qp_kernel="pallas", tile=128, alphas=((1.0,), (1.0, 0.5, 0.25)), **kw)
+    # r5 warm IPM chain at the DMS shape (sqp_fused qp_warm): the adopted
+    # bench schedule (8, 2) — measured 68.3k solves/s vs 42.0k cold (16, 8)
+    candw = make_lbmpc_solver_fused(
+        qp, sc.A, sc.B, sc.ocp.Ks, w, sqp_iters=2, ipm_iters=(8, 2),
+        qp_warm=True, qp_kernel="pallas_full", tile=128,
+        alphas=((1.0,), (1.0, 0.5, 0.25)), **kw)
 
     zc, cc = cand(dx, wins, z0)
     zp, cp = candp(dx, wins, z0)
+    zw, cw = candw(dx, wins, z0)
     zr, cr = ref(dx, wins, z0)
     zr2, cr2 = ref2(dx, wins, z0)
     zc3, cc3 = cand3(dx, wins, z0)
@@ -96,6 +103,8 @@ def main():
         cand_s2_vs_ref_s3=stats(zc, zr),
         cand_pallas_s2_vs_ref_s3=stats(zp, zr),
         cand_pallas_vs_cand_xla=stats(zp, zc),
+        cand_warm8_2_vs_ref_s3=stats(zw, zr),
+        cand_warm8_2_vs_cand_xla=stats(zw, zc),
         cand_s3_vs_ref_s3=stats(zc3, zr),
         # solver-class noise floor: the reference against a deeper budget of
         # ITSELF — if this is the same order as the candidate error, the
@@ -103,6 +112,7 @@ def main():
         ref_s3_vs_ref_s4=stats(zr, zr2),
         conv=dict(cand_s2=float(np.asarray(cc).mean()),
                   cand_pallas_s2=float(np.asarray(cp).mean()),
+                  cand_warm8_2=float(np.asarray(cw).mean()),
                   cand_s3=float(np.asarray(cc3).mean()),
                   ref_s3=float(np.asarray(cr).mean()),
                   ref_s4=float(np.asarray(cr2).mean())), B=B)), flush=True)

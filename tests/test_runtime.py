@@ -461,3 +461,46 @@ def test_fleet_budget_estimator_calibration():
     b2m = estimate_fleet_budget(n=4, m=1, nth=1, N=20, q=32, iterations=10,
                                 fleet=1 << 21, mI=214, backend="pallas_full")
     assert b2m["max_chunk"] < 1 << 21           # the measured OOM point
+
+
+def test_fleet_warm_chain_episode_matches_reference():
+    """r5 cross-step warm chain: build_fleet_episode(warm_chain=True)
+    threads the Mehrotra kernel's interior (s, z) state across receding-
+    horizon steps (run_closed_loop_batched qp_warm_solve carry), so every
+    step runs the short warm schedule. The chained episode must track the
+    deep f64 reference episode like the plain fleet path does (same gate
+    as test_fleet_episode_*: trajectory-level agreement, conv 1.0)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lbmpc_tpu.config import make_preset
+    from lbmpc_tpu.runtime.scenario import build_fleet_episode, build_scenario
+
+    cfg = make_preset("LBMPC_N40", iterations=4)
+    cfg = dataclasses.replace(
+        cfg,
+        ocp=dataclasses.replace(cfg.ocp, N=8),
+        solver=dataclasses.replace(cfg.solver, dtype="float32", sqp_iters=2,
+                                   ipm_iters=16),
+        oracle=dataclasses.replace(cfg.oracle, q=8),
+    )
+    sc, run = build_fleet_episode(cfg, backend="hybrid",
+                                  qp_kernel="pallas_full",
+                                  ipm_iters=(8, 2), qp_warm=True,
+                                  warm_chain=True)
+    rng = np.random.default_rng(0)
+    dx0 = jnp.asarray(
+        np.array([-0.35, -0.4, 0.0, 0.0]) + rng.uniform(-0.02, 0.02, (8, 4)))
+    res = run(dx0)
+    assert float(np.asarray(res.solver_converged).mean()) == 1.0
+
+    ref_cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, dtype="float64",
+                                        sqp_iters=3, ipm_iters=25))
+    ref = jax.vmap(build_scenario(ref_cfg).episode)(dx0)
+    diff = np.abs(np.asarray(res.sys_history)
+                  - np.asarray(ref.sys_history)).max()
+    assert diff < 1e-3, diff
