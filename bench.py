@@ -367,9 +367,17 @@ def main():
             solver=dataclasses.replace(fl_cfg.solver, dtype="float32",
                                        sqp_iters=2, ipm_iters=16),
             oracle=dataclasses.replace(fl_cfg.oracle, q=32))
+        # r5 cross-step warm chain (scripts/fleet_warm_ab.py): the QP
+        # kernel's interior state rides the episode carry, so every step
+        # runs the short (4, 2) schedule (step 0 = the audit-cleared cold
+        # (4, 2)). Measured at cohort 8192: cold (16,16) 642k -> warm
+        # (8,2) 1,067k -> chain (4,2) 1,258k closed-loop solves/s, conv
+        # 1.0 throughout; chain-vs-cold trajectories agree at p99 4e-4
+        # (the 0.088 max is a single lane the cold path itself flags).
         _, run_cohort = build_fleet_episode(
             fl_cfg, backend="hybrid", qp_kernel="pallas_full",
-            repair_frac=1.0 / 85.0)
+            repair_frac=1.0 / 85.0, ipm_iters=(4, 2), qp_warm=True,
+            warm_chain=True)
         FLB = 8192
         fl_dx = jnp.asarray(
             np.array([-0.35, -0.4, 0.0, 0.0])
