@@ -48,6 +48,12 @@ def main():
                     choices=["xla", "pallas", "pallas_full"],
                     help="QP/GN kernel backend; 'pallas_full' = the round-3 "
                          "all-Pallas phases (bench headline)")
+    ap.add_argument("--warm-chain", action="store_true",
+                    help="r5 cross-step warm chain (pallas kernels only): "
+                         "carry the QP kernel's interior state across "
+                         "receding-horizon steps and run the short (4, 2) "
+                         "IPM schedule every step (measured 2.0x the cold "
+                         "closed-loop rate at conv 1.0)")
     args = ap.parse_args()
 
     import jax
@@ -107,8 +113,11 @@ def main():
     if args.fused:
         from lbmpc_tpu.runtime.scenario import build_fleet_episode
 
+        chain_kw = (dict(ipm_iters=(4, 2), qp_warm=True, warm_chain=True)
+                    if args.warm_chain else {})
         _, run_cohort = build_fleet_episode(cfg, backend=args.backend,
-                                            qp_kernel=args.qp_kernel)
+                                            qp_kernel=args.qp_kernel,
+                                            **chain_kw)
 
         def run(dx_all):
             cohorts = dx_all.reshape(-1, args.chunk, dx_all.shape[-1])
