@@ -140,6 +140,7 @@ def estimate_fleet_budget(
     mI: int | None = None,
     fused_kkt_copies: float = 33.0,
     backend: str = "fused_xla",
+    warm_chain: bool = False,
 ) -> dict:
     """HBM budget model for fleet episodes (ROADMAP coverage item 6).
 
@@ -191,6 +192,23 @@ def estimate_fleet_budget(
             + q * (d_in + d_out + 1)          # oracle window
             + 8 * nz                          # z/g/d vectors
         )
+        if warm_chain:
+            # r5 cross-step chain: the scan carry holds the QP kernel's
+            # interior state (4 mI-row f32 arrays). MEASURED
+            # (scripts/fleet_chain_ceiling.py, N=20/q=32/steps=10, chain
+            # (4,2)): cohorts {2^18, 2^19, 2^20} all run at conv 1.0 and
+            # 2^21 fails (the remote compile helper dies at that size; the
+            # r4 non-chain probe recorded runtime RESOURCE_EXHAUSTED at
+            # the same boundary) — the SAME bracket as the non-chain path.
+            # XLA
+            # donates the scan carry in place, so the naive "+4 mI arrays
+            # double-buffered" (~26 KB/lane, which would have capped the
+            # cohort at ~2^18) never becomes resident; only one carry copy
+            # peaks during the in-place update, already inside the 1.3
+            # staging factor's envelope. Small explicit term so chain
+            # budgets stay conservative without moving max_chunk off the
+            # measured 2^20.
+            per_lane_work += work_bytes * 0.1 * mI_guess
     else:
         per_lane_work = work_bytes * (
             fused_kkt_copies * mI_guess * nz   # D-scaled stack + XLA temps
