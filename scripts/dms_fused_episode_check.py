@@ -72,12 +72,19 @@ def main():
     w = LBMPCWeights.make(sc.ocp.Q, sc.ocp.R, sc.ocp.P, sc.ocp.T,
                           sc.ocp.LAMBDA, sc.ocp.PSI)
     # r5: the promoted bench backend — both phases in Pallas (pallas_full,
-    # tile 128; B=8 lanes pad to one 128-lane tile)
+    # tile 128; B=8 lanes pad to one 128-lane tile). Modes: default = the
+    # historical cold (16, 8); "warm" = the ADOPTED bench config (warm
+    # (8, 2), sqp_fused qp_warm); "chain" = cross-step warm chain at
+    # (4, 2) (raw_qpwarm through the episode carry).
+    mode = sys.argv[1] if len(sys.argv) > 1 else "cold"
+    sched, qwarm = {"cold": ((16, 8), False), "warm": ((8, 2), True),
+                    "chain": ((4, 2), True)}[mode]
     solve = make_lbmpc_solver_fused(
         qp, sc.A, sc.B, sc.ocp.Ks, w, family="casadi", delta=cfg.plant.ts,
         bandwidth=cfg.oracle.bandwidth, ridge=cfg.oracle.ridge,
-        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=(16, 8),
-        qp_kernel="pallas_full", tile=128, alphas=((1.0,), (1.0, 0.5, 0.25)))
+        dx_ref=np.asarray(cfg.dx_ref), sqp_iters=2, ipm_iters=sched,
+        qp_warm=qwarm, qp_kernel="pallas_full", tile=128,
+        alphas=((1.0,), (1.0, 0.5, 0.25)))
     f32 = jnp.float32
     B = 8
     x_wp = jnp.asarray(cfg.plant.x_wp, f32)
@@ -89,6 +96,10 @@ def main():
     warm = make_casadi_warm_start(qp, sc.A, sc.B, sc.ocp.Ks, dtype=f32)
     plant = lambda x, u: rk4_step(x, u[0], cfg.plant.ts, substeps=1)
 
+    chain_kw = (dict(qp_warm_solve=solve.raw_qpwarm,
+                     qp_init_state=solve.init_qp_state)
+                if mode == "chain" else {})
+
     @jax.jit
     def run(dx_init):
         with jax.default_matmul_precision("highest"):
@@ -98,7 +109,8 @@ def main():
                 jnp.asarray(sc.B, f32), jnp.asarray(sc.ocp.LAMBDA, f32),
                 x_wp, jnp.asarray([cfg.plant.u_wp], f32),
                 dx_init, jnp.zeros((B, qp.nz), f32), wins0,
-                cfg.iterations, learn=True, log_post_state=False)
+                cfg.iterations, learn=True, log_post_state=False,
+                **chain_kw)
 
     res = run(dx0)
     sysH = np.asarray(res.sys_history)  # (B, T+1, 5)
